@@ -1,0 +1,168 @@
+"""Single dataclass-tree configuration for the whole framework.
+
+The reference spreads configuration over four uncoordinated mechanisms
+(`train.py:80-104` Config class, `main.py:23-37` CONFIG dict,
+`misalignment_detection_train.py:79-88` DetectorConfig dataclass, and
+config-read-back-from-checkpoint in `misalignment_detection_demo.py:311-315`).
+This module collapses them into one serializable tree; every checkpoint the
+framework writes embeds the full config (the one good idea in the reference's
+scheme, kept and generalized).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset / preprocessing parameters.
+
+    Mirrors the reference's PyTorch-stack geometry (`dataset.py:15-17`):
+    100x50 grayscale mouth crops, 75-frame clips, /255 normalization, and the
+    heuristic mouth ROI (lower 40% of rows, middle 40% of columns,
+    `dataset.py:216-218`).
+    """
+
+    data_path: str = "./data"
+    img_width: int = 100
+    img_height: int = 50
+    max_video_length: int = 75
+    max_label_length: int = 40
+    # Heuristic mouth ROI fractions (row_start, col_start, col_end).
+    mouth_crop: Tuple[float, float, float] = (0.6, 0.3, 0.7)
+    # Per-clip standardization instead of /255 (the TF stack's convention,
+    # `train.py:266-273`); off by default for parity with the PyTorch stack.
+    standardize_clips: bool = False
+    batch_size: int = 8
+    shuffle_seed: int = 42
+    # Train/val/test fractions over speakers (`main.py:63-77`).
+    split: Tuple[float, float, float] = (0.7, 0.15, 0.15)
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """LipNet encoder hyperparameters (`model.py:10-48`)."""
+
+    vocab_size: int = 39  # 37 chars + blank(0) + <pad> (`dataset.py:41-46`)
+    hidden_dim: int = 256
+    dropout_rate: float = 0.5
+    conv_channels: Tuple[int, int, int] = (32, 64, 96)
+    conv_kernels: Tuple[Tuple[int, int, int], ...] = (
+        (3, 5, 5),
+        (3, 5, 5),
+        (3, 3, 3),
+    )
+    num_gru_layers: int = 2
+    # Compute dtype for conv/GRU matmuls; params are kept in float32.
+    compute_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class AudioConfig:
+    """MFCC front-end parameters (`misalignment_detection_train.py:84-86,117-127`).
+
+    hop_length = sample_rate / 40 reproduces the reference's 40 MFCC frames/s.
+    n_fft / n_mels / fmin / fmax / norm follow librosa.feature.mfcc defaults,
+    which the reference relies on implicitly.
+    """
+
+    sample_rate: int = 16000
+    n_mfcc: int = 20
+    n_fft: int = 2048
+    n_mels: int = 128
+    fmin: float = 0.0
+    fmax: Optional[float] = None  # None -> sample_rate / 2
+    top_db: float = 80.0
+    # Maximum audio length in samples for the static-shape device pipeline
+    # (GRID clips are 3 s @ 25 fps = 75 frames; 3 s @ 16 kHz = 48000).
+    max_audio_samples: int = 48000
+
+    @property
+    def hop_length(self) -> int:
+        return max(1, self.sample_rate // 40)
+
+
+@dataclass(frozen=True)
+class DetectorConfig:
+    """Misalignment-detector parameters (`misalignment_detection_train.py:79-88`)."""
+
+    hidden_dim: int = 256
+    dropout: float = 0.3
+    max_shift_frames: int = 15
+    num_negative_samples: int = 1
+    default_fps: float = 25.0
+    lr: float = 1e-3
+    weight_decay: float = 1e-5
+    batch_size: int = 32
+    epochs: int = 20
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """LipNet training parameters (`trainer.py:12-24`, `main.py:23-37`)."""
+
+    learning_rate: float = 1e-4
+    epochs: int = 50
+    grad_clip_norm: float = 1.0
+    checkpoint_every: int = 10
+    checkpoint_dir: str = "./checkpoints"
+    log_dir: str = "./logs"
+    seed: int = 42
+    # Mesh axes: batch is sharded over 'data'; 'model' is the tensor-parallel
+    # axis (headroom; 1 by default for this 12.5M-param model).
+    mesh_shape: Tuple[int, int] = (-1, 1)  # -1 -> all remaining devices
+    quick_test: bool = False
+
+
+@dataclass(frozen=True)
+class AvsyncConfig:
+    """Root configuration tree."""
+
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    audio: AudioConfig = field(default_factory=AudioConfig)
+    detector: DetectorConfig = field(default_factory=DetectorConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    # ---- serialization -------------------------------------------------
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "AvsyncConfig":
+        def _build(dc_type, sub: Dict[str, Any]):
+            fields = {f.name: f for f in dataclasses.fields(dc_type)}
+            kwargs = {}
+            for k, v in sub.items():
+                if k not in fields:
+                    continue  # forward compatibility: ignore unknown keys
+                ft = fields[k].type
+                if isinstance(v, list):
+                    v = tuple(tuple(e) if isinstance(e, list) else e for e in v)
+                kwargs[k] = v
+                del ft
+            return dc_type(**kwargs)
+
+        return cls(
+            data=_build(DataConfig, d.get("data", {})),
+            model=_build(ModelConfig, d.get("model", {})),
+            audio=_build(AudioConfig, d.get("audio", {})),
+            detector=_build(DetectorConfig, d.get("detector", {})),
+            train=_build(TrainConfig, d.get("train", {})),
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "AvsyncConfig":
+        return cls.from_dict(json.loads(s))
+
+    def replace(self, **sections) -> "AvsyncConfig":
+        """Return a copy with whole sections replaced, e.g.
+        cfg.replace(model=cfg.model_with(hidden_dim=512))."""
+        return dataclasses.replace(self, **sections)
