@@ -1,0 +1,108 @@
+"""Mesh construction and sharding rules.
+
+Design (scaling-book recipe): pick a mesh, annotate shardings on the inputs
+and parameters, let XLA insert the collectives, profile, iterate.
+
+  * Axes: ('data', 'model'). Data parallelism is the primary strategy for
+    this 12.5M-param model — the batch shards over 'data' and gradients
+    all-reduce over ICI. 'model' is the tensor-parallel axis: the GRU gate
+    matrices and the CTC head shard over it when mesh_shape[1] > 1 (design
+    headroom per SURVEY §2.4 — not needed at this size, but expressible).
+  * All shardings are `NamedSharding(mesh, PartitionSpec(...))` so a jitted
+    step compiles identically on 1 real TPU, a v5e-8 slice, or 8 virtual CPU
+    devices.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    shape: Tuple[int, int] = (-1, 1),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a ('data', 'model') mesh. shape=(-1, m) assigns all remaining
+    devices to the data axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    d, m = shape
+    if d == -1:
+        assert n % m == 0, f"{n} devices not divisible by model={m}"
+        d = n // m
+    assert d * m == n, f"mesh {d}x{m} != {n} devices"
+    arr = np.asarray(devices).reshape(d, m)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading axis sharded over 'data'."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Place a host batch pytree onto the mesh, sharded over 'data'."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+# ---------------------------------------------------------------------------
+# Parameter sharding rules
+# ---------------------------------------------------------------------------
+
+def lipnet_param_spec(params: Any, model_axis_size: int = 0) -> Any:
+    """PartitionSpec tree for LipNet params.
+
+    Tensor-parallel rule (active when the 'model' axis size > 1):
+      * GRU input/hidden projections shard their 3H output columns over
+        'model' — each shard computes a slice of the gates; biases shard
+        alike. (The recurrent matmul then needs its H input gathered; XLA
+        inserts the all-gather.)
+      * The CTC head ('fc') shards its vocab output columns when divisible
+        (vocab=39 is not for typical axis sizes — it stays replicated then).
+      * Conv kernels stay replicated (tiny).
+    With model=1 every spec collapses to full replication. Dims that are not
+    divisible by `model_axis_size` fall back to replication (pass 0 to skip
+    the divisibility check and emit the idealized spec).
+    """
+
+    def ok(leaf, dim: int) -> bool:
+        if model_axis_size <= 1:
+            return model_axis_size == 0
+        return leaf.shape[dim] % model_axis_size == 0
+
+    def spec_for(path: Tuple, leaf) -> P:
+        keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        name = "/".join(str(k) for k in keys)
+        ndim = getattr(leaf, "ndim", 0)
+        if "gru" in name:
+            if ndim == 2:  # (D, 3H) / (H, 3H)
+                return P(None, MODEL_AXIS) if ok(leaf, 1) else P()
+            return P(MODEL_AXIS) if ok(leaf, 0) else P()  # (3H,) biases
+        if name.endswith("fc/kernel"):
+            return P(None, MODEL_AXIS) if ok(leaf, 1) else P()
+        if name.endswith("fc/bias"):
+            return P(MODEL_AXIS) if ok(leaf, 0) else P()
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def param_sharding(mesh: Mesh, params: Any) -> Any:
+    size = mesh.shape[MODEL_AXIS]
+    return jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec),
+        lipnet_param_spec(params, model_axis_size=size),
+        is_leaf=lambda x: isinstance(x, P),
+    )

@@ -1,0 +1,98 @@
+"""Orbax checkpointing with the full config embedded.
+
+Replaces the reference's three ad-hoc torch/Keras schemes (SURVEY §5):
+every checkpoint carries {params, opt_state?, step, config-JSON, metrics} so
+any tool can self-configure from the checkpoint alone (the one good idea in
+`misalignment_detection_train.py:312-318`, generalized). `.pth` interop lives
+in avsync/compat.py; this module is the native format.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from avsync.config import AvsyncConfig
+
+
+class CheckpointManager:
+    """Thin Orbax wrapper: save/restore pytrees + config metadata.
+
+    Directory layout: <root>/<step>/  (Orbax composite: 'state' pytree +
+    'meta' JSON). `save_final` writes step -1 as the terminal snapshot
+    (the reference's `lipnet_final.pth` analogue, `trainer.py:156`).
+    """
+
+    def __init__(self, root: str, max_to_keep: Optional[int] = None):
+        self.root = os.path.abspath(root)
+        os.makedirs(self.root, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.root,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(
+        self,
+        step: int,
+        state: Any,
+        config: Optional[AvsyncConfig] = None,
+        metrics: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        meta: Dict[str, Any] = {}
+        if config is not None:
+            meta["config"] = config.to_dict()
+        if metrics is not None:
+            meta["metrics"] = {
+                k: (float(v) if np.isscalar(v) or hasattr(v, "item") else v)
+                for k, v in metrics.items()
+            }
+        self._mgr.save(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(state),
+                meta=ocp.args.JsonSave(meta),
+            ),
+        )
+        self._mgr.wait_until_finished()
+
+    def restore(self, step: Optional[int] = None, template: Any = None):
+        """Returns (state, meta). `template` (a pytree of like-shaped arrays)
+        restores into matching shardings/dtypes when provided."""
+        if step is None:
+            step = self._mgr.latest_step()
+            if step is None:
+                raise FileNotFoundError(f"no checkpoints under {self.root}")
+        if template is not None:
+            restored = self._mgr.restore(
+                step,
+                args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore(template),
+                    meta=ocp.args.JsonRestore(),
+                ),
+            )
+        else:
+            restored = self._mgr.restore(step)
+        meta = restored.get("meta") or {}
+        return restored["state"], meta
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def all_steps(self):
+        return sorted(self._mgr.all_steps())
+
+    def close(self):
+        self._mgr.close()
+
+    @staticmethod
+    def config_from_meta(meta: Dict[str, Any]) -> Optional[AvsyncConfig]:
+        if "config" in meta:
+            return AvsyncConfig.from_dict(meta["config"])
+        return None

@@ -1,0 +1,174 @@
+"""Training + parallelism tests on the virtual 8-device CPU mesh.
+
+Exercises the pjit train step under real shardings: data-parallel (8,1),
+data+tensor-parallel (4,2), checkpoint save/restore/resume, and numerical
+consistency of the sharded computation against single-logical-device math.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from avsync.config import AvsyncConfig, ModelConfig, TrainConfig
+from avsync.parallel import make_mesh, lipnet_param_spec
+from avsync.train import LipNetTrainer
+from avsync.utils.checkpoint import CheckpointManager
+from avsync.utils.logging import Logger
+
+TINY_MODEL = ModelConfig(
+    vocab_size=39,
+    hidden_dim=8,
+    conv_channels=(2, 3, 4),
+    conv_kernels=((3, 5, 5), (3, 5, 5), (3, 3, 3)),
+)
+
+
+def tiny_config(**train_kw) -> AvsyncConfig:
+    return AvsyncConfig(
+        model=TINY_MODEL,
+        train=TrainConfig(learning_rate=1e-3, checkpoint_every=2, **train_kw),
+    )
+
+
+def synth_batch(rng, B=8, T=12, H=16, W=32, L=6):
+    labels = rng.integers(1, 37, size=(B, L)).astype(np.int32)
+    lengths = rng.integers(2, L + 1, size=(B,)).astype(np.int32)
+    for b in range(B):
+        labels[b, lengths[b]:] = 0
+    return {
+        "video": rng.random((B, T, H, W, 1)).astype(np.float32),
+        "labels": labels,
+        "label_lengths": lengths,
+    }
+
+
+def loader_fn(rng_seed, n_batches=2, **kw):
+    def make():
+        rng = np.random.default_rng(rng_seed)
+        return [synth_batch(rng, **kw) for _ in range(n_batches)]
+
+    return make
+
+
+class TestMesh:
+    def test_mesh_shapes(self):
+        m = make_mesh((-1, 1))
+        assert m.devices.shape == (8, 1)
+        m2 = make_mesh((4, 2))
+        assert m2.devices.shape == (4, 2)
+        assert m2.axis_names == ("data", "model")
+
+    def test_param_spec_rules(self):
+        params = {
+            "conv1": {"kernel": np.zeros((3, 5, 5, 1, 2)), "bias": np.zeros(2)},
+            "gru1": {"w_ih_fwd": np.zeros((10, 24)), "b_ih_fwd": np.zeros(24)},
+            "fc": {"kernel": np.zeros((16, 39)), "bias": np.zeros(39)},
+        }
+        spec = lipnet_param_spec(params)
+        assert spec["conv1"]["kernel"] == P()
+        assert spec["gru1"]["w_ih_fwd"] == P(None, "model")
+        assert spec["gru1"]["b_ih_fwd"] == P("model")
+        assert spec["fc"]["kernel"] == P(None, "model")
+
+
+class TestTrainStep:
+    def test_loss_decreases_dp(self):
+        cfg = tiny_config()
+        trainer = LipNetTrainer(cfg, mesh=make_mesh((8, 1)), log=Logger(None, console=False))
+        rng = np.random.default_rng(0)
+        batch = synth_batch(rng)
+        state = trainer.init_state(batch)
+        losses = []
+        for _ in range(5):
+            state, m = trainer.compiled["train"](
+                state, trainer._device_batch(batch), trainer.rng
+            )
+            losses.append(float(m["loss"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+        assert int(state.step) == 5
+
+    def test_dp_tp_consistent(self):
+        """Same params+batch must give the same loss on (8,1) and (4,2)
+        meshes — the sharded computation is numerically the same program."""
+        cfg = tiny_config()
+        rng = np.random.default_rng(1)
+        batch = synth_batch(rng)
+
+        losses = {}
+        for shape in [(8, 1), (4, 2), (2, 4)]:
+            trainer = LipNetTrainer(
+                cfg, mesh=make_mesh(shape), log=Logger(None, console=False)
+            )
+            trainer.rng = jax.random.PRNGKey(7)
+            state = trainer.init_state(batch)
+            _, m = trainer.compiled["train"](
+                state, trainer._device_batch(batch), trainer.rng
+            )
+            losses[shape] = float(m["loss"])
+        base = losses[(8, 1)]
+        for shape, v in losses.items():
+            assert v == pytest.approx(base, rel=1e-4), (shape, losses)
+
+    def test_eval_step(self):
+        cfg = tiny_config()
+        trainer = LipNetTrainer(cfg, mesh=make_mesh((8, 1)), log=Logger(None, console=False))
+        rng = np.random.default_rng(2)
+        batch = synth_batch(rng)
+        state = trainer.init_state(batch)
+        loss, log_probs = trainer.compiled["eval"](
+            state.params, trainer._device_batch(batch)
+        )
+        assert np.isfinite(float(loss))
+        assert log_probs.shape == (8, 12, 39)
+
+
+class TestTrainerLoop:
+    def test_full_train_with_checkpoints(self, tmp_path):
+        cfg = tiny_config()
+        trainer = LipNetTrainer(cfg, mesh=make_mesh((8, 1)), log=Logger(None, console=False))
+        state = trainer.train(
+            loader_fn(0),
+            loader_fn(1),
+            epochs=2,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        assert len(trainer.train_losses) == 2
+        ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+        steps = ckpt.all_steps()
+        assert 2 in steps and 3 in steps  # periodic @2 + final (epochs+1)
+        restored, meta = ckpt.restore(2, template=jax.device_get(state))
+        assert meta["config"]["model"]["hidden_dim"] == 8
+        assert meta["metrics"]["train_loss"] > 0
+        ckpt.close()
+
+    def test_resume_from_checkpoint(self, tmp_path):
+        cfg = tiny_config()
+        trainer = LipNetTrainer(cfg, mesh=make_mesh((8, 1)), log=Logger(None, console=False))
+        state = trainer.train(
+            loader_fn(0), loader_fn(1), epochs=2, checkpoint_dir=str(tmp_path / "c")
+        )
+        ckpt = CheckpointManager(str(tmp_path / "c"))
+        restored, _ = ckpt.restore(template=jax.device_get(state))
+        ckpt.close()
+        state2 = trainer.shard_state(
+            type(state)(restored.params, restored.opt_state, restored.step)
+        )
+        state3 = trainer.train(
+            loader_fn(0), loader_fn(1), epochs=1,
+            checkpoint_dir=str(tmp_path / "c2"), state=state2,
+        )
+        assert int(state3.step) > int(restored.step)
+
+    def test_plot_losses(self, tmp_path):
+        cfg = tiny_config()
+        trainer = LipNetTrainer(cfg, mesh=make_mesh((8, 1)), log=Logger(None, console=False))
+        trainer.train_losses = [3.0, 2.0]
+        trainer.val_losses = [3.1, 2.2]
+        out = str(tmp_path / "hist.png")
+        trainer.plot_losses(out)
+        import os
+
+        assert os.path.exists(out)
