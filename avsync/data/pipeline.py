@@ -1,0 +1,179 @@
+"""Batching + device-feed pipeline for LipNet training.
+
+The reference overlaps host preprocessing with device compute via DataLoader
+workers / tf.data AUTOTUNE (`main.py:133`, `train.py:450`). The TPU-native
+pipeline instead:
+
+  * host does only codec decode to (T, H, W) uint8 (avsync.data.video) —
+    4x less PCIe traffic than f32;
+  * a background thread prefetches and overlaps decode with device steps;
+  * crop/resize/normalize run on device inside one jitted program
+    (avsync.ops.image.preprocess_clips), compiled once per input geometry.
+
+Already-preprocessed .npy clips at the target geometry skip the crop+resize
+(matching `dataset.py:186-198`, which trusts preprocessed data).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avsync.config import AvsyncConfig
+from avsync.data.grid import GridDataSource
+from avsync.data.video import decode_video_gray
+from avsync.ops import image as imglib
+
+
+def prefetch(iterator: Iterable, size: int = 2) -> Iterator:
+    """Background-thread prefetch: decouples host decode from consumption."""
+    q: queue.Queue = queue.Queue(maxsize=size)
+    sentinel = object()
+    err: list = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # propagate into the consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
+class LipNetBatcher:
+    """Epoch iterators of host batches for LipNetTrainer.
+
+    Emits {'video': (B, T, h, w, 1) f32 in [0,1], 'labels': (B, L) i32,
+    'label_lengths': (B,) i32}. Device-side preprocessing is jitted per raw
+    frame geometry; uint8 frames transfer to device, everything after is XLA.
+    """
+
+    def __init__(self, source: GridDataSource, config: AvsyncConfig, mesh=None):
+        self.source = source
+        self.cfg = config
+        self.mesh = mesh  # when set, raw batches land sharded over 'data'
+        self._preproc_cache: Dict = {}
+
+    # -- device preprocessing, compiled per input geometry ----------------
+    def _preprocess(self, raw: np.ndarray) -> jax.Array:
+        d = self.cfg.data
+        key = raw.shape[2:]
+        fn = self._preproc_cache.get(key)
+        if fn is None:
+            target = (d.img_height, d.img_width)
+
+            if key == target:
+                def run(x):  # already mouth-cropped (preprocessed .npy path)
+                    out = x.astype(jnp.float32) * (1.0 / 255.0)
+                    return out[..., None]
+            else:
+                def run(x):
+                    return imglib.preprocess_clips(
+                        x.astype(jnp.float32),
+                        out_hw=(d.img_height, d.img_width),
+                        crop=d.mouth_crop,
+                    )
+
+            def maybe_standardize(x):
+                out = run(x)
+                if d.standardize_clips:
+                    out = imglib.standardize_clips(out)
+                return out
+
+            if self.mesh is not None:
+                from avsync.parallel import batch_sharding
+
+                fn = jax.jit(
+                    maybe_standardize, in_shardings=batch_sharding(self.mesh)
+                )
+            else:
+                fn = jax.jit(maybe_standardize)
+            self._preproc_cache[key] = fn
+        if self.mesh is not None:
+            from avsync.parallel import batch_sharding
+
+            raw = jax.device_put(raw, batch_sharding(self.mesh))
+        return fn(raw)
+
+    def _decode_clip(self, video_path: str) -> np.ndarray:
+        d = self.cfg.data
+        frames = decode_video_gray(video_path, max_frames=d.max_video_length)
+        T = frames.shape[0]
+        if T == 0:
+            return np.zeros(
+                (d.max_video_length, d.img_height, d.img_width), np.uint8
+            )
+        if T < d.max_video_length:
+            pad = np.zeros(
+                (d.max_video_length - T,) + frames.shape[1:], np.uint8
+            )
+            frames = np.concatenate([frames, pad], axis=0)
+        return frames
+
+    def epoch(
+        self,
+        batch_size: Optional[int] = None,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        prefetch_size: int = 2,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield batches with video preprocessed on device.
+
+        drop_last=True keeps every batch the same shape (single jit
+        compilation); eval paths use drop_last=False, where the final partial
+        batch is zero-padded and 'valid' counts the real samples.
+        """
+        d = self.cfg.data
+        B = batch_size or d.batch_size
+        n = len(self.source)
+        order = np.arange(n)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+
+        def batches():
+            for i in range(0, n, B):
+                idx = order[i : i + B]
+                if len(idx) < B:
+                    if drop_last:
+                        return
+                    idx = np.concatenate([idx, np.zeros(B - len(idx), np.int64)])
+                    valid = len(order[i : i + B])
+                else:
+                    valid = B
+                raws = np.stack(
+                    [
+                        self._decode_clip(self.source.samples[j].video_path)
+                        for j in idx
+                    ]
+                )
+                labels, lengths = self.source.labels_batch(
+                    list(idx), d.max_label_length
+                )
+                yield {"raw": raws, "labels": labels,
+                       "label_lengths": lengths, "valid": valid}
+
+        for hb in prefetch(batches(), prefetch_size):
+            video = self._preprocess(hb["raw"])
+            yield {
+                "video": video,
+                "labels": hb["labels"],
+                "label_lengths": hb["label_lengths"],
+                "valid": hb["valid"],
+            }

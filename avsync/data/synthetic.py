@@ -1,0 +1,140 @@
+"""Deterministic synthetic GRID-style corpus for tests and demos.
+
+The reference fabricates labels when discovery fails
+(`utils.py:141-177` create_dummy_alignments, interactive). This module is
+that idea made deterministic and complete: it writes a miniature corpus —
+video clips (either preprocessed .npy mouth crops or full-frame clips),
+GRID-format .align transcripts, and sibling .wav audio whose envelope is
+correlated with the video so the misalignment task is learnable — in any of
+the three reference layouts (standard / mixed / flat).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Tuple
+
+import numpy as np
+
+from avsync.data.video import save_wav
+
+GRID_PHRASES: Tuple[str, ...] = (
+    "bin blue at f nine please",
+    "lay red at j two now",
+    "place white by a four soon",
+    "set green in x eight again",
+    "bin blue at l three please",
+    "lay red by r zero now",
+    "place white at u five soon",
+    "set green by b six again",
+)
+
+
+def make_clip(
+    rng: np.random.Generator,
+    n_frames: int = 75,
+    height: int = 50,
+    width: int = 100,
+    fps: float = 25.0,
+    sample_rate: int = 16000,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One audio-visual clip: (T, H, W) uint8 video + float32 audio.
+
+    A bright "mouth" ellipse opens/closes with a random per-clip envelope;
+    the audio is a tone amplitude-modulated by the SAME envelope, so
+    visual/audio statistics are correlated when aligned and decorrelated
+    when the audio is shifted (zeros swept in).
+    """
+    t = np.arange(n_frames) / fps
+    f_env = rng.uniform(1.0, 3.0)
+    phase = rng.uniform(0, 2 * np.pi)
+    envelope = 0.5 + 0.5 * np.sin(2 * np.pi * f_env * t + phase)  # (T,)
+
+    yy, xx = np.mgrid[0:height, 0:width]
+    cy, cx = height * 0.75, width * 0.5  # mouth sits in the lower middle
+    video = np.empty((n_frames, height, width), np.uint8)
+    bg = rng.integers(30, 60)
+    for i in range(n_frames):
+        ry = 3.0 + 8.0 * envelope[i]
+        rx = 12.0 + 6.0 * envelope[i]
+        mouth = (((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2) <= 1.0
+        frame = np.full((height, width), bg, np.float32)
+        frame += 10.0 * rng.standard_normal((height, width))
+        frame[mouth] = 180.0 + 40.0 * envelope[i]
+        video[i] = np.clip(frame, 0, 255).astype(np.uint8)
+
+    n_samples = int(n_frames / fps * sample_rate)
+    ta = np.arange(n_samples) / sample_rate
+    env_audio = 0.5 + 0.5 * np.sin(2 * np.pi * f_env * ta + phase)
+    tone = rng.uniform(200.0, 600.0)
+    audio = (env_audio * np.sin(2 * np.pi * tone * ta)).astype(np.float32) * 0.7
+    audio += 0.01 * rng.standard_normal(n_samples).astype(np.float32)
+    return video, audio
+
+
+def write_corpus(
+    root: str,
+    n_speakers: int = 2,
+    clips_per_speaker: int = 3,
+    layout: str = "flat",
+    preprocessed: bool = True,
+    n_frames: int = 75,
+    height: int = 50,
+    width: int = 100,
+    seed: int = 0,
+    with_audio: bool = True,
+) -> List[str]:
+    """Write the corpus; returns the speaker directory names.
+
+    layout: 'flat' (videos+aligns side by side), 'standard' (video/+align/),
+    'mixed' (videos in root, aligns in align/). preprocessed=True writes
+    .npy mouth-crop clips (the reference's processed-data path,
+    `dataset.py:186-198`); False writes full frames as .npy at 4x the crop
+    geometry so the device crop path has something to chew on.
+    """
+    rng = np.random.default_rng(seed)
+    speakers = []
+    for s in range(1, n_speakers + 1):
+        speaker = f"s{s}"
+        speakers.append(speaker)
+        sdir = os.path.join(root, speaker)
+        if layout == "standard":
+            vdir = os.path.join(sdir, "video")
+            adir = os.path.join(sdir, "align")
+        elif layout == "mixed":
+            vdir = sdir
+            adir = os.path.join(sdir, "align")
+        else:
+            vdir = adir = sdir
+        os.makedirs(vdir, exist_ok=True)
+        os.makedirs(adir, exist_ok=True)
+
+        for c in range(clips_per_speaker):
+            name = f"clip{c:02d}"
+            if preprocessed:
+                video, audio = make_clip(rng, n_frames, height, width)
+            else:
+                video, audio = make_clip(rng, n_frames, height * 4, width * 4)
+            np.save(os.path.join(vdir, name + ".npy"), video)
+            phrase = GRID_PHRASES[(s * clips_per_speaker + c) % len(GRID_PHRASES)]
+            _write_align(os.path.join(adir, name + ".align"), phrase, n_frames)
+            if with_audio:
+                save_wav(os.path.join(vdir, name + ".wav"), audio, 16000)
+    return speakers
+
+
+def _write_align(path: str, phrase: str, n_frames: int) -> None:
+    """GRID-format align file: sil + evenly spaced words + sil, in the
+    25 kHz-tick convention real GRID uses (1000 ticks per frame @ 25 fps)."""
+    words = phrase.split()
+    total = n_frames * 1000
+    sil = total // 8
+    span = (total - 2 * sil) // max(len(words), 1)
+    lines = [f"0 {sil} sil"]
+    t = sil
+    for w in words:
+        lines.append(f"{t} {t + span} {w}")
+        t += span
+    lines.append(f"{t} {total} sil")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")

@@ -1,0 +1,206 @@
+"""Misalignment-detector training: BCE over shift-contrastive device batches.
+
+Reference semantics (`misalignment_detection_train.py:253-280,345-486`):
+Adam(lr=1e-3, weight_decay=1e-5 — torch's coupled L2, not AdamW), BCE with
+logits, accuracy@0.5 + ROC-AUC per epoch, best-val-AUC model selection,
+periodic checkpoints, final test eval + ROC artifact.
+
+TPU-native: features come from a precomputed FeatureBank (avsync.features);
+each step gathers (video_idx, shift) pairs and runs shift->MFCC->stats +
+detector forward/backward in ONE jitted program on device.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from avsync.config import AvsyncConfig
+from avsync.eval import auroc, binary_accuracy
+from avsync.features import FeatureBank, gather_features, sample_shift_labels
+from avsync.models import MisalignmentDetector
+from avsync.utils.logging import Logger, format_time
+
+
+class DetectorState(NamedTuple):
+    params: dict
+    opt_state: tuple
+    step: jax.Array
+
+
+def make_detector_optimizer(lr: float, weight_decay: float):
+    """torch.optim.Adam(lr, weight_decay=wd): wd couples into the gradient
+    BEFORE the Adam moments (`misalignment_detection_train.py:412`) — i.e.
+    L2 regularization, not decoupled AdamW."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8),
+    )
+
+
+class DetectorTrainer:
+    def __init__(self, config: AvsyncConfig, log: Optional[Logger] = None):
+        self.config = config
+        self.log = log or Logger(None, console=True)
+        self.model = MisalignmentDetector(
+            hidden_dim=config.detector.hidden_dim, dropout=config.detector.dropout
+        )
+        self.optimizer = make_detector_optimizer(
+            config.detector.lr, config.detector.weight_decay
+        )
+        self.rng = jax.random.PRNGKey(config.train.seed)
+        self._steps = None
+
+    def init_state(self, feature_dim: int) -> DetectorState:
+        init_rng, self.rng = jax.random.split(self.rng)
+        params = self.model.init(
+            {"params": init_rng}, jnp.zeros((1, feature_dim))
+        )["params"]
+        return DetectorState(
+            params, self.optimizer.init(params), jnp.zeros((), jnp.int32)
+        )
+
+    # -- jitted steps -----------------------------------------------------
+    @property
+    def steps(self):
+        if self._steps is None:
+            model, optimizer = self.model, self.optimizer
+            audio_cfg = self.config.audio
+
+            def train_step(state, bank, video_idx, shifts, labels, rng):
+                step_rng = jax.random.fold_in(rng, state.step)
+                feats = gather_features(bank, video_idx, shifts, audio_cfg)
+
+                def loss_fn(params):
+                    logits = model.apply(
+                        {"params": params},
+                        feats,
+                        train=True,
+                        rngs={"dropout": step_rng},
+                    )
+                    loss = jnp.mean(
+                        optax.sigmoid_binary_cross_entropy(logits, labels)
+                    )
+                    return loss, logits
+
+                (loss, logits), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params)
+                updates, opt_state = optimizer.update(
+                    grads, state.opt_state, state.params
+                )
+                params = optax.apply_updates(state.params, updates)
+                probs = jax.nn.sigmoid(logits)
+                return (
+                    DetectorState(params, opt_state, state.step + 1),
+                    loss,
+                    probs,
+                )
+
+            def eval_step(params, bank, video_idx, shifts, labels):
+                feats = gather_features(bank, video_idx, shifts, audio_cfg)
+                logits = model.apply({"params": params}, feats, train=False)
+                loss = jnp.mean(
+                    optax.sigmoid_binary_cross_entropy(logits, labels)
+                )
+                return loss, jax.nn.sigmoid(logits)
+
+            self._steps = {
+                "train": jax.jit(train_step, donate_argnums=(0,)),
+                "eval": jax.jit(eval_step),
+            }
+        return self._steps
+
+    # -- epochs -----------------------------------------------------------
+    def run_epoch(
+        self,
+        state: DetectorState,
+        bank: FeatureBank,
+        n_videos: int,
+        seed: int,
+        train: bool = True,
+        batch_size: Optional[int] = None,
+    ) -> Tuple[DetectorState, Dict[str, float]]:
+        """One pass over the shift-contrastive sampling plan — the analogue
+        of `run_epoch` (`misalignment_detection_train.py:253-280`)."""
+        det = self.config.detector
+        B = batch_size or det.batch_size
+        rng = np.random.default_rng(seed)
+        video_idx, shifts, labels = sample_shift_labels(
+            n_videos, det.max_shift_frames, det.num_negative_samples, rng,
+            shuffle=train,
+        )
+        total_loss, total_n = 0.0, 0
+        all_probs, all_labels = [], []
+        for i in range(0, len(video_idx), B):
+            vi = jnp.asarray(video_idx[i : i + B])
+            sh = jnp.asarray(shifts[i : i + B])
+            lb = jnp.asarray(labels[i : i + B])
+            if train:
+                state, loss, probs = self.steps["train"](
+                    state, bank, vi, sh, lb, self.rng
+                )
+            else:
+                loss, probs = self.steps["eval"](state.params, bank, vi, sh, lb)
+            total_loss += float(loss) * len(vi)
+            total_n += len(vi)
+            all_probs.append(np.asarray(probs))
+            all_labels.append(labels[i : i + B])
+        probs = np.concatenate(all_probs)
+        labs = np.concatenate(all_labels)
+        metrics = {
+            "loss": total_loss / max(total_n, 1),
+            "acc": float(binary_accuracy(jnp.asarray(labs), jnp.asarray(probs))),
+            "auc": float(auroc(jnp.asarray(labs), jnp.asarray(probs))),
+            "labels": labs,
+            "probs": probs,
+        }
+        return state, metrics
+
+    def train(
+        self,
+        bank: FeatureBank,
+        train_videos: int,
+        val_bank: FeatureBank,
+        val_videos: int,
+        epochs: Optional[int] = None,
+    ) -> Tuple[DetectorState, Dict[str, float]]:
+        """Full run with best-val-AUC selection
+        (`misalignment_detection_train.py:418-444`). Returns (best_state,
+        summary). Checkpointing/artifacts are the caller's concern (cli)."""
+        det = self.config.detector
+        epochs = epochs or det.epochs
+        feature_dim = bank.visual.shape[1] + 2 * self.config.audio.n_mfcc
+        state = self.init_state(feature_dim)
+        best_params, best_auc = None, -1.0
+        t0 = time.time()
+        for epoch in range(1, epochs + 1):
+            te = time.time()
+            state, tr = self.run_epoch(
+                state, bank, train_videos, seed=self.config.train.seed + epoch
+            )
+            _, va = self.run_epoch(
+                state, val_bank, val_videos,
+                seed=self.config.train.seed + 10_000 + epoch, train=False,
+            )
+            self.log.log(
+                f"Epoch {epoch:02d}/{epochs} | "
+                f"train_loss={tr['loss']:.4f} train_acc={tr['acc']:.3f} | "
+                f"val_loss={va['loss']:.4f} val_acc={va['acc']:.3f} "
+                f"val_auc={va['auc']:.3f} | time={time.time() - te:.1f}s"
+            )
+            if not np.isnan(va["auc"]) and va["auc"] > best_auc:
+                best_auc = va["auc"]
+                best_params = jax.device_get(state.params)
+                self.log.log(f"  -> New best model (val_auc={best_auc:.3f})")
+        if best_params is not None:
+            state = DetectorState(
+                jax.tree.map(jnp.asarray, best_params), state.opt_state, state.step
+            )
+        self.log.log(f"Training done in {format_time(time.time() - t0)}")
+        return state, {"best_val_auc": best_auc}

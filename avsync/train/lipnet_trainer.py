@@ -162,11 +162,16 @@ class LipNetTrainer:
             }
         return self._compiled
 
-    def _device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+    def _device_batch(self, batch: Dict[str, Any]) -> Dict[str, jax.Array]:
+        def cast(x, dt):
+            if isinstance(x, jax.Array):
+                return x  # already on device (e.g. from LipNetBatcher)
+            return np.asarray(x, dt)
+
         return meshlib.shard_batch(self.mesh, {
-            "video": np.asarray(batch["video"], np.float32),
-            "labels": np.asarray(batch["labels"], np.int32),
-            "label_lengths": np.asarray(batch["label_lengths"], np.int32),
+            "video": cast(batch["video"], np.float32),
+            "labels": cast(batch["labels"], np.int32),
+            "label_lengths": cast(batch["label_lengths"], np.int32),
         })
 
     # -- epoch loops ------------------------------------------------------
