@@ -1,0 +1,656 @@
+"""Command-line entry points, reference-CLI compatible.
+
+  python -m avsync.cli train          — LipNet CTC training (`main.py`,
+                                        `train.py --mode train`)
+  python -m avsync.cli test           — held-out CER/WER/accuracy ->
+                                        test_results.json (`train.py:811-993`)
+  python -m avsync.cli infer VIDEO    — single-video transcript
+                                        (`train.py:998-1075`, `predict.py`)
+  python -m avsync.cli misalign-train — detector training
+                                        (`misalignment_detection_train.py`)
+  python -m avsync.cli misalign-demo  — annotated demo export
+                                        (`misalignment_detection_demo.py`)
+
+Flag names follow the reference argparse surfaces
+(`misalignment_detection_train.py:322-342`, `train.py:1080-1109`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+import time
+from datetime import datetime
+from typing import List, Optional
+
+import numpy as np
+
+from avsync.config import (
+    AudioConfig,
+    AvsyncConfig,
+    DataConfig,
+    DetectorConfig,
+    ModelConfig,
+    TrainConfig,
+)
+
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+def _conv_shape(cfg: AvsyncConfig):
+    """(C, H, W) of the conv-stack output for the configured geometry —
+    drives the (C,H,W)<->(H,W,C) weight permutation in avsync.compat."""
+    h, w = cfg.data.img_height, cfg.data.img_width
+    for _ in cfg.model.conv_channels:
+        h, w = h // 2, w // 2
+    return (cfg.model.conv_channels[-1], h, w)
+
+
+def _load_lipnet_params(checkpoint: str, model, cfg: Optional[AvsyncConfig] = None):
+    """Load LipNet params from a reference `.pth` or an avsync Orbax dir."""
+    import jax
+    import jax.numpy as jnp
+
+    if checkpoint.endswith(".pth"):
+        from avsync.compat import DEFAULT_CONV_SHAPE, load_lipnet_pth
+
+        shape = _conv_shape(cfg) if cfg is not None else DEFAULT_CONV_SHAPE
+        return jax.tree.map(
+            jnp.asarray,
+            load_lipnet_pth(
+                checkpoint,
+                num_conv=len(cfg.model.conv_channels) if cfg else 3,
+                num_gru=cfg.model.num_gru_layers if cfg else 2,
+                conv_shape=shape,
+            ),
+        )
+    from avsync.utils.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(checkpoint)
+    state, _ = ckpt.restore()
+    ckpt.close()
+    params = state["params"] if isinstance(state, dict) else state.params
+    return jax.tree.map(jnp.asarray, params)
+
+
+def _fit_mesh(cfg: AvsyncConfig):
+    """Mesh whose data axis divides the batch size (a global batch must
+    shard evenly over 'data'; excess devices are left idle rather than
+    erroring on small-batch configs)."""
+    import math
+
+    import jax
+
+    from avsync.parallel import make_mesh
+
+    n = len(jax.devices())
+    d_req, m = cfg.train.mesh_shape
+    if m <= 0:
+        m = 1
+    avail = max(n // m, 1)
+    data = math.gcd(cfg.data.batch_size, avail) if d_req == -1 else d_req
+    return make_mesh((data, m), devices=jax.devices()[: data * m])
+
+
+def _config_from_args(args) -> AvsyncConfig:
+    """Build the config tree: start from --config JSON when given (geometry,
+    model size, mesh...), then apply the reference-compatible CLI scalars."""
+    import dataclasses
+
+    def _arg(name, fallback):
+        v = getattr(args, name, None)
+        return fallback if v is None else v
+
+    if getattr(args, "config", None):
+        with open(args.config) as f:
+            base = AvsyncConfig.from_json(f.read())
+        return dataclasses.replace(
+            base,
+            data=dataclasses.replace(
+                base.data,
+                data_path=args.data_path,
+                batch_size=_arg("batch_size", base.data.batch_size),
+            ),
+            detector=dataclasses.replace(
+                base.detector,
+                hidden_dim=_arg("hidden_dim", base.detector.hidden_dim),
+                max_shift_frames=_arg(
+                    "max_shift_frames", base.detector.max_shift_frames
+                ),
+                num_negative_samples=_arg(
+                    "num_negatives", base.detector.num_negative_samples
+                ),
+                batch_size=_arg("batch_size", base.detector.batch_size),
+                epochs=_arg("epochs", base.detector.epochs),
+                lr=_arg("lr", base.detector.lr),
+                weight_decay=_arg("weight_decay", base.detector.weight_decay),
+            ),
+            train=dataclasses.replace(
+                base.train,
+                epochs=_arg("epochs", base.train.epochs),
+                learning_rate=_arg("lr", base.train.learning_rate),
+                seed=getattr(args, "seed", base.train.seed),
+                checkpoint_dir=getattr(
+                    args, "checkpoint_dir", base.train.checkpoint_dir
+                ),
+                log_dir=getattr(args, "log_dir", base.train.log_dir),
+                quick_test=getattr(args, "quick_test", base.train.quick_test),
+            ),
+        )
+    return AvsyncConfig(
+        data=DataConfig(
+            data_path=args.data_path,
+            batch_size=_arg("batch_size", 8),
+        ),
+        model=ModelConfig(hidden_dim=getattr(args, "model_hidden_dim", 256)),
+        audio=AudioConfig(
+            sample_rate=_arg("sample_rate", 16000),
+            n_mfcc=_arg("n_mfcc", 20),
+        ),
+        detector=DetectorConfig(
+            hidden_dim=_arg("hidden_dim", 256),
+            max_shift_frames=_arg("max_shift_frames", 15),
+            num_negative_samples=_arg("num_negatives", 1),
+            lr=_arg("lr", 1e-3),
+            weight_decay=_arg("weight_decay", 1e-5),
+            batch_size=_arg("batch_size", 32),
+            epochs=_arg("epochs", 20),
+        ),
+        train=TrainConfig(
+            learning_rate=_arg("lr", 1e-4),
+            epochs=_arg("epochs", 50),
+            seed=getattr(args, "seed", 42),
+            checkpoint_dir=getattr(args, "checkpoint_dir", "./checkpoints"),
+            log_dir=getattr(args, "log_dir", "logs"),
+            quick_test=getattr(args, "quick_test", False),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# train
+# ---------------------------------------------------------------------------
+
+def cmd_train(args) -> int:
+    import jax
+
+    from avsync.data import (
+        GridDataSource,
+        LipNetBatcher,
+        check_data_structure,
+        split_speakers,
+    )
+    from avsync.parallel import make_mesh
+    from avsync.train import LipNetTrainer
+    from avsync.utils.logging import Logger
+
+    cfg = _config_from_args(args)
+    speakers = args.speakers or check_data_structure(cfg.data.data_path)
+    if not speakers:
+        print(f"ERROR: no usable speakers under {cfg.data.data_path}")
+        return 1
+    train_sp, val_sp, test_sp = split_speakers(speakers, cfg.data.split)
+    print(f"Speakers: train={train_sp} val={val_sp} test={test_sp}")
+
+    mesh = _fit_mesh(cfg)
+    trainer = LipNetTrainer(cfg, mesh=mesh)
+    sources = {
+        name: GridDataSource(cfg.data.data_path, sp)
+        for name, sp in (("train", train_sp), ("val", val_sp), ("test", test_sp))
+    }
+    batchers = {
+        name: LipNetBatcher(src, cfg, mesh=mesh) for name, src in sources.items()
+    }
+
+    if cfg.train.quick_test:
+        # smoke mode (`main.py:154-167`): one batch through the forward pass
+        batch = next(iter(batchers["train"].epoch(shuffle=False)))
+        out = trainer.model.apply(
+            {"params": trainer.init_state(batch).params}, batch["video"]
+        )
+        print(f"quick_test: input {batch['video'].shape} -> output {out.shape}")
+        return 0
+
+    state = trainer.train(
+        lambda: batchers["train"].epoch(shuffle=True, seed=cfg.train.seed),
+        lambda: batchers["val"].epoch(shuffle=False),
+        checkpoint_dir=cfg.train.checkpoint_dir,
+    )
+    trainer.plot_losses(os.path.join(cfg.train.checkpoint_dir, "training_history.png"))
+
+    if args.export_pth:
+        from avsync.compat import save_lipnet_pth
+
+        save_lipnet_pth(
+            jax.device_get(state.params), args.export_pth,
+            num_conv=len(cfg.model.conv_channels),
+            num_gru=cfg.model.num_gru_layers,
+            conv_shape=_conv_shape(cfg),
+        )
+        print(f"Exported reference-format checkpoint to {args.export_pth}")
+    _evaluate(trainer, state, batchers["test"], sources["test"],
+              os.path.join(cfg.train.checkpoint_dir, "test_results.json"))
+    return 0
+
+
+def _evaluate(trainer, state, batcher, source, out_json: str, num_print: int = 5):
+    """Greedy-decode the split, print samples, dump CER/WER/accuracy JSON
+    (`utils.py:38-86` + `train.py:916-942`)."""
+    from avsync import text as textlib
+    from avsync.eval import evaluate_transcripts
+
+    preds: List[str] = []
+    targets: List[str] = []
+    idx = 0
+    for batch in batcher.epoch(shuffle=False, drop_last=False):
+        _, log_probs = trainer.compiled["eval"](
+            state.params, trainer._device_batch(batch)
+        )
+        decoded = textlib.decode_batch(log_probs[: batch["valid"]])
+        for d in decoded:
+            preds.append(d)
+            targets.append(source.samples[idx].text)
+            if idx < num_print:
+                print(f"\nSample {idx + 1}:")
+                print(f"True text: {targets[-1]}")
+                print(f"Predicted text: {d}")
+            idx += 1
+    results = evaluate_transcripts(preds, targets)
+    with open(out_json, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"\nTest results: {results} -> {out_json}")
+    return results
+
+
+# ---------------------------------------------------------------------------
+# test / infer
+# ---------------------------------------------------------------------------
+
+def cmd_test(args) -> int:
+    from avsync.data import GridDataSource, LipNetBatcher, check_data_structure, split_speakers
+    from avsync.parallel import make_mesh
+    from avsync.train import LipNetTrainer
+    from avsync.train.lipnet_trainer import TrainState
+
+    cfg = _config_from_args(args)
+    speakers = args.speakers or check_data_structure(cfg.data.data_path)
+    _, _, test_sp = split_speakers(speakers, cfg.data.split)
+    src = GridDataSource(cfg.data.data_path, test_sp)
+    mesh = _fit_mesh(cfg)
+    trainer = LipNetTrainer(cfg, mesh=mesh)
+    params = _load_lipnet_params(args.checkpoint, trainer.model, cfg)
+    state = TrainState(params, None, 0)
+    batcher = LipNetBatcher(src, cfg, mesh=mesh)
+    _evaluate(trainer, state, batcher, src, args.output or "test_results.json")
+    return 0
+
+
+def len_devices() -> int:
+    import jax
+
+    return len(jax.devices())
+
+
+def cmd_infer(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from avsync import text as textlib
+    from avsync.data.video import decode_video_gray
+    from avsync.eval import calculate_cer, calculate_wer
+    from avsync.models import LipNet
+    from avsync.ops import image as imglib
+
+    cfg = _config_from_args(args)
+    model = LipNet(cfg.model)
+    params = _load_lipnet_params(args.checkpoint, model, cfg)
+
+    frames = decode_video_gray(args.video, max_frames=cfg.data.max_video_length)
+    if frames.size == 0:
+        print(f"ERROR: no frames decoded from {args.video}")
+        return 1
+    d = cfg.data
+    x = jnp.asarray(frames, jnp.float32)[None]
+    if frames.shape[1:] == (d.img_height, d.img_width):
+        clips = (x * (1.0 / 255.0))[..., None]
+    else:
+        clips = imglib.preprocess_clips(x, (d.img_height, d.img_width), d.mouth_crop)
+    clips, _ = imglib.pad_or_truncate_time(clips, d.max_video_length)
+    log_probs = jax.jit(lambda p, v: model.apply({"params": p}, v))(params, clips)
+    pred = textlib.decode_batch(log_probs)[0]
+    print(f"Predicted: {pred}")
+
+    base = os.path.splitext(args.video)[0]
+    for ext in (".align", ".txt"):
+        if os.path.exists(base + ext):
+            gt = textlib.load_align_file(base + ext)
+            print(f"Ground truth: {gt}")
+            print(f"CER: {calculate_cer(pred, gt):.4f}  WER: {calculate_wer(pred, gt):.4f}")
+            break
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# misalign-train
+# ---------------------------------------------------------------------------
+
+def _build_bank(cfg: AvsyncConfig, src, model, params, video_paths):
+    """Feature bank for an ordered list of video paths."""
+    import jax.numpy as jnp
+
+    from avsync.data import LipNetBatcher
+    from avsync.data.grid import GridDataSource
+    from avsync.data.video import get_video_fps, load_audio_for_video
+    from avsync.features import build_feature_bank
+    from avsync.ops.audio import resample_host
+
+    # restrict the source to the chosen paths, in order
+    sub = GridDataSource.__new__(GridDataSource)
+    sub.data_path = src.data_path
+    sub.speakers = src.speakers
+    by_path = {s.video_path: s for s in src.samples}
+    sub.samples = [by_path[p] for p in video_paths]
+
+    batcher = LipNetBatcher(sub, cfg)
+    clips = batcher.epoch(shuffle=False, drop_last=False)
+    audio_list, fps_list = [], []
+    for p in video_paths:
+        a, sr = load_audio_for_video(p, cfg.audio.sample_rate)
+        if sr != cfg.audio.sample_rate:
+            a = resample_host(a, sr, cfg.audio.sample_rate)
+        audio_list.append(a)
+        fps_list.append(get_video_fps(p, cfg.detector.default_fps))
+    return build_feature_bank(model, params, clips, audio_list, fps_list, cfg)
+
+
+def cmd_misalign_train(args) -> int:
+    import jax
+
+    from avsync.data import GridDataSource, discover_speakers, split_videos
+    from avsync.eval import roc_curve
+    from avsync.features import FeatureBank
+    from avsync.models import LipNet
+    from avsync.train.detector_trainer import DetectorTrainer
+    from avsync.utils.logging import Logger, format_time
+
+    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    log_folder = os.path.join(args.log_dir, f"misalignment_{timestamp}")
+    os.makedirs(log_folder, exist_ok=True)
+    logger = Logger(os.path.join(log_folder, "training.log"), console=args.verbose)
+    t0 = time.time()
+
+    logger.log("=" * 60)
+    logger.log("Misalignment Detection Training")
+    logger.log("=" * 60)
+    logger.log(f"Log folder: {log_folder}")
+    logger.log(f"Arguments: {vars(args)}")
+
+    cfg = _config_from_args(args)
+    random.seed(cfg.train.seed)
+    np.random.seed(cfg.train.seed)
+
+    speakers = args.speakers or discover_speakers(cfg.data.data_path)
+    src = GridDataSource(cfg.data.data_path, speakers)
+    video_paths = [s.video_path for s in src.samples]
+    if args.max_samples:
+        random.shuffle(video_paths)
+        video_paths = video_paths[: args.max_samples]
+    logger.log(f"Using {len(video_paths)} videos from {len(speakers)} speakers")
+    print(f"Using {len(video_paths)} videos")
+
+    model = LipNet(cfg.model)
+    params = _load_lipnet_params(args.checkpoint, model, cfg)
+
+    train_p, val_p, test_p = split_videos(video_paths, seed=cfg.train.seed)
+    logger.log(f"Train: {len(train_p)}, Val: {len(val_p)}, Test: {len(test_p)}")
+
+    banks = {}
+    for name, paths in (("train", train_p), ("val", val_p), ("test", test_p)):
+        banks[name] = _build_bank(cfg, src, model, params, paths)
+    logger.log("Feature banks built (device-resident)")
+
+    trainer = DetectorTrainer(cfg, log=logger)
+    state, summary = trainer.train(
+        banks["train"], len(train_p), banks["val"], len(val_p)
+    )
+
+    logger.log("")
+    logger.log("Evaluating on test set...")
+    _, test_m = trainer.run_epoch(
+        state, banks["test"], len(test_p), seed=cfg.train.seed + 999, train=False
+    )
+    logger.log(
+        f"Test -> loss: {test_m['loss']:.4f}, acc: {test_m['acc']:.3f}, "
+        f"auc: {test_m['auc']:.3f}"
+    )
+
+    # save detector: reference .pth layout + ROC artifact
+    from avsync.compat import save_detector_pth
+
+    input_dim = banks["train"].visual.shape[1] + 2 * cfg.audio.n_mfcc
+    det_cfg = {
+        "sample_rate": cfg.audio.sample_rate,
+        "n_mfcc": cfg.audio.n_mfcc,
+        "max_shift_frames": cfg.detector.max_shift_frames,
+    }
+    for path in (
+        os.path.join(log_folder, os.path.basename(args.detector_checkpoint)),
+        args.detector_checkpoint,
+    ):
+        save_detector_pth(
+            jax.device_get(state.params), path, input_dim,
+            cfg.detector.hidden_dim, det_cfg,
+            conv_shape=_conv_shape(cfg), n_audio_feats=2 * cfg.audio.n_mfcc,
+        )
+
+    _plot_roc(test_m["labels"], test_m["probs"], os.path.join(log_folder, "roc.png"))
+    logger.log(f"ROC saved to {os.path.join(log_folder, 'roc.png')}")
+    total = time.time() - t0
+    logger.log("")
+    logger.log("=" * 60)
+    logger.log("Training completed!")
+    logger.log(f"Total time: {format_time(total)}")
+    logger.log(f"Best val AUC: {summary['best_val_auc']:.3f}")
+    logger.log(f"Test AUC: {test_m['auc']:.3f}")
+    logger.log(f"Model saved to: {args.detector_checkpoint}")
+    logger.log(f"Logs saved to: {log_folder}")
+    logger.log("=" * 60)
+    logger.close()
+    print(f"Done. Best val AUC {summary['best_val_auc']:.3f}, "
+          f"test AUC {test_m['auc']:.3f}. Logs: {log_folder}")
+    return 0
+
+
+def _plot_roc(labels, probs, out_path):
+    """ROC artifact (`misalignment_detection_train.py:283-296`)."""
+    from avsync.eval import auroc, roc_curve
+
+    labels = np.asarray(labels)
+    if labels.size == 0 or len(np.unique(labels)) < 2:
+        return
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import jax.numpy as jnp
+
+    fpr, tpr, _ = roc_curve(labels, probs)
+    auc = float(auroc(jnp.asarray(labels, jnp.float32), jnp.asarray(probs)))
+    plt.figure(figsize=(6, 6))
+    plt.plot(fpr, tpr, label=f"ROC AUC = {auc:.3f}")
+    plt.plot([0, 1], [0, 1], "k--")
+    plt.xlabel("False Positive Rate")
+    plt.ylabel("True Positive Rate")
+    plt.legend(loc="lower right")
+    plt.tight_layout()
+    plt.savefig(out_path)
+    plt.close()
+
+
+# ---------------------------------------------------------------------------
+# misalign-demo
+# ---------------------------------------------------------------------------
+
+def cmd_misalign_demo(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from avsync.compat import load_detector_pth
+    from avsync.data import GridDataSource, discover_speakers
+    from avsync.data.video import (
+        decode_video_gray,
+        get_video_fps,
+        load_audio_for_video,
+    )
+    from avsync.demo import export_demo
+    from avsync.features import build_feature_bank, gather_features
+    from avsync.models import LipNet, MisalignmentDetector
+    from avsync.ops.audio import resample_host
+
+    cfg = _config_from_args(args)
+    det_params, meta = load_detector_pth(
+        args.detector_checkpoint, conv_shape=_conv_shape(cfg),
+        n_audio_feats=2 * cfg.audio.n_mfcc,
+    )
+    hidden = int(meta.get("hidden_dim", cfg.detector.hidden_dim))
+    det_model = MisalignmentDetector(hidden_dim=hidden)
+    det_params = jax.tree.map(jnp.asarray, det_params)
+    # self-configure from the checkpoint (`misalignment_detection_demo.py:311-315`)
+    saved = meta.get("config", {})
+    audio_cfg = AudioConfig(
+        sample_rate=int(saved.get("sample_rate", cfg.audio.sample_rate)),
+        n_mfcc=int(saved.get("n_mfcc", cfg.audio.n_mfcc)),
+    )
+    cfg = cfg.replace(audio=audio_cfg)
+
+    lip_model = LipNet(cfg.model)
+    lip_params = _load_lipnet_params(args.checkpoint, lip_model, cfg)
+
+    speakers = args.speakers or discover_speakers(cfg.data.data_path)
+    src = GridDataSource(cfg.data.data_path, speakers)
+    rng = random.Random(args.seed)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    score = jax.jit(
+        lambda p, f: jax.nn.sigmoid(det_model.apply({"params": p}, f))
+    )
+    for speaker in speakers:
+        vids = [s.video_path for s in src.samples if f"/{speaker}/" in s.video_path]
+        if not vids:
+            continue
+        try:
+            video_path = rng.choice(vids)
+            shift = rng.randint(args.min_shift, args.max_shift)
+            if rng.random() < 0.5:
+                shift = -shift
+            bank = _build_bank(cfg, src, lip_model, lip_params, [video_path])
+            feats = gather_features(
+                bank, jnp.asarray([0, 0]), jnp.asarray([0, shift]), cfg.audio
+            )
+            s_aligned, s_mis = (float(x) for x in score(det_params, feats))
+            frames = decode_video_gray(video_path)
+            a, sr = load_audio_for_video(video_path, cfg.audio.sample_rate)
+            if sr != cfg.audio.sample_rate:
+                a = resample_host(a, sr, cfg.audio.sample_rate)
+            out_dir = os.path.join(args.output_dir, speaker)
+            p1, p2 = export_demo(
+                frames, a, cfg.audio.sample_rate,
+                get_video_fps(video_path), shift, s_aligned, s_mis,
+                out_dir, scale=args.scale,
+            )
+            print(
+                f"{speaker}: {os.path.basename(video_path)} shift={shift:+d} "
+                f"aligned={s_aligned:.3f} misaligned={s_mis:.3f} -> {p1}, {p2}"
+            )
+        except Exception as e:  # per-speaker resilience (`..._demo.py:355-358`)
+            print(f"{speaker}: demo generation failed: {e}")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# argparse wiring
+# ---------------------------------------------------------------------------
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="avsync", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--data_path", type=str, default="./data")
+        sp.add_argument("--speakers", nargs="*", default=None)
+        sp.add_argument("--seed", type=int, default=42)
+        sp.add_argument("--config", type=str, default=None,
+                        help="AvsyncConfig JSON file (geometry/model/mesh)")
+
+    t = sub.add_parser("train", help="LipNet CTC training")
+    common(t)
+    t.add_argument("--batch_size", type=int, default=None)
+    t.add_argument("--epochs", type=int, default=None)
+    t.add_argument("--lr", type=float, default=None)
+    t.add_argument("--checkpoint_dir", type=str, default="./checkpoints")
+    t.add_argument("--quick_test", action="store_true")
+    t.add_argument("--export_pth", type=str, default=None,
+                   help="also write a reference-format .pth")
+    t.set_defaults(fn=cmd_train)
+
+    te = sub.add_parser("test", help="evaluate CER/WER on the test split")
+    common(te)
+    te.add_argument("--checkpoint", type=str, required=True,
+                    help=".pth file or Orbax checkpoint dir")
+    te.add_argument("--batch_size", type=int, default=None)
+    te.add_argument("--output", type=str, default=None)
+    te.set_defaults(fn=cmd_test)
+
+    i = sub.add_parser("infer", help="single-video inference")
+    i.add_argument("video", type=str)
+    i.add_argument("--checkpoint", type=str, required=True)
+    i.add_argument("--data_path", type=str, default="./data")
+    i.add_argument("--seed", type=int, default=42)
+    i.add_argument("--config", type=str, default=None)
+    i.set_defaults(fn=cmd_infer)
+
+    m = sub.add_parser("misalign-train", help="train the misalignment detector")
+    common(m)
+    m.add_argument("--checkpoint", type=str, default="lipnet_final.pth")
+    m.add_argument("--detector_checkpoint", type=str,
+                   default="misalignment_detector.pth")
+    m.add_argument("--batch_size", type=int, default=None)
+    m.add_argument("--epochs", type=int, default=None)
+    m.add_argument("--lr", type=float, default=None)
+    m.add_argument("--weight_decay", type=float, default=None)
+    m.add_argument("--hidden_dim", type=int, default=None)
+    m.add_argument("--max_samples", type=int, default=None)
+    m.add_argument("--max_shift_frames", type=int, default=None)
+    m.add_argument("--num_negatives", type=int, default=None)
+    m.add_argument("--sample_rate", type=int, default=None)
+    m.add_argument("--n_mfcc", type=int, default=None)
+    m.add_argument("--log_dir", type=str, default="logs")
+    m.add_argument("--verbose", action="store_true")
+    m.add_argument("--save_every", type=int, default=5)
+    m.set_defaults(fn=cmd_misalign_train)
+
+    d = sub.add_parser("misalign-demo", help="export annotated demo videos")
+    common(d)
+    d.add_argument("--checkpoint", type=str, default="lipnet_final.pth")
+    d.add_argument("--detector_checkpoint", type=str,
+                   default="misalignment_detector.pth")
+    d.add_argument("--output_dir", type=str, default="demo_output")
+    d.add_argument("--min_shift", type=int, default=5)
+    d.add_argument("--max_shift", type=int, default=20)
+    d.add_argument("--scale", type=int, default=1)
+    d.set_defaults(fn=cmd_misalign_demo)
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,154 @@
+"""CLI end-to-end tests on a synthetic corpus (tiny config via --config)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from avsync.config import (
+    AudioConfig,
+    AvsyncConfig,
+    DataConfig,
+    DetectorConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from avsync.data import synthetic
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    corpus = str(root / "data")
+    synthetic.write_corpus(
+        corpus, n_speakers=3, clips_per_speaker=4,
+        n_frames=8, height=16, width=32, seed=9,
+    )
+    cfg = AvsyncConfig(
+        data=DataConfig(
+            data_path=corpus, img_height=16, img_width=32,
+            max_video_length=8, batch_size=4,
+            # labels must fit the 8-frame CTC input or every loss is
+            # zeroed by the zero_infinity guard
+            max_label_length=6,
+        ),
+        model=ModelConfig(hidden_dim=8, conv_channels=(2, 3, 4)),
+        audio=AudioConfig(max_audio_samples=8000),
+        detector=DetectorConfig(hidden_dim=16, batch_size=8),
+        train=TrainConfig(learning_rate=1e-3, checkpoint_every=10),
+    )
+    cfg_path = str(root / "tiny.json")
+    with open(cfg_path, "w") as f:
+        f.write(cfg.to_json())
+    return {"root": str(root), "corpus": corpus, "cfg_path": cfg_path}
+
+
+def run_cli(args):
+    from avsync.cli import main
+
+    return main(args)
+
+
+@pytest.fixture(scope="module")
+def trained_pth(workdir):
+    """Train once (2 epochs) and export the reference-format checkpoint."""
+    pth = os.path.join(workdir["root"], "lipnet_final.pth")
+    if not os.path.exists(pth):
+        ckpt_dir = os.path.join(workdir["root"], "ckpts")
+        rc = run_cli([
+            "train", "--data_path", workdir["corpus"],
+            "--config", workdir["cfg_path"],
+            "--epochs", "2", "--checkpoint_dir", ckpt_dir,
+            "--export_pth", pth,
+        ])
+        assert rc == 0
+    return pth
+
+
+class TestTrainFlow:
+    def test_quick_test_mode(self, workdir, capsys):
+        rc = run_cli([
+            "train", "--data_path", workdir["corpus"],
+            "--config", workdir["cfg_path"], "--quick_test",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "quick_test" in out and "(1, 8, 16, 32, 1)" not in out
+
+    def test_train_export_eval(self, workdir, trained_pth, capsys):
+        ckpt_dir = os.path.join(workdir["root"], "ckpts")
+        pth = trained_pth
+        assert os.path.exists(pth)
+        assert os.path.exists(os.path.join(ckpt_dir, "training_history.png"))
+        results_path = os.path.join(ckpt_dir, "test_results.json")
+        assert os.path.exists(results_path)
+        results = json.load(open(results_path))
+        assert set(results) >= {"cer", "wer", "accuracy", "num_samples"}
+
+        # reference-format .pth round-trips through torch
+        import torch
+
+        sd = torch.load(pth, map_location="cpu")
+        assert "conv1.weight" in sd and sd["conv1.weight"].shape[0] == 2
+
+    def test_infer_on_clip(self, workdir, trained_pth, capsys):
+        pth = trained_pth
+        clip = os.path.join(workdir["corpus"], "s1", "clip00.npy")
+        rc = run_cli([
+            "infer", clip, "--checkpoint", pth,
+            "--config", workdir["cfg_path"],
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "Predicted:" in out
+        assert "Ground truth:" in out  # sibling .align exists
+        assert "CER:" in out
+
+
+class TestMisalignFlow:
+    def test_misalign_train_and_demo(self, workdir, trained_pth, capsys):
+        pth = trained_pth
+        det = os.path.join(workdir["root"], "detector.pth")
+        log_dir = os.path.join(workdir["root"], "logs")
+        rc = run_cli([
+            "misalign-train", "--data_path", workdir["corpus"],
+            "--config", workdir["cfg_path"],
+            "--checkpoint", pth, "--detector_checkpoint", det,
+            "--epochs", "3", "--max_shift_frames", "6",
+            "--log_dir", log_dir, "--verbose",
+        ])
+        assert rc == 0
+        assert os.path.exists(det)
+        runs = os.listdir(log_dir)
+        assert len(runs) == 1
+        run_dir = os.path.join(log_dir, runs[0])
+        assert os.path.exists(os.path.join(run_dir, "training.log"))
+        assert os.path.exists(os.path.join(run_dir, "roc.png"))
+        log_text = open(os.path.join(run_dir, "training.log")).read()
+        assert "Best val AUC" in log_text
+
+        # detector checkpoint is reference-format and self-describing
+        import torch
+
+        ckpt = torch.load(det, map_location="cpu")
+        assert ckpt["hidden_dim"] == 16
+        assert ckpt["config"]["n_mfcc"] == 20
+        assert "classifier.0.weight" in ckpt["model_state_dict"]
+
+        out_dir = os.path.join(workdir["root"], "demo")
+        rc = run_cli([
+            "misalign-demo", "--data_path", workdir["corpus"],
+            "--config", workdir["cfg_path"],
+            "--checkpoint", pth, "--detector_checkpoint", det,
+            "--output_dir", out_dir, "--min_shift", "2", "--max_shift", "5",
+        ])
+        assert rc == 0
+        txt = capsys.readouterr().out
+        assert "aligned=" in txt
+        produced = []
+        for sp in os.listdir(out_dir):
+            produced += os.listdir(os.path.join(out_dir, sp))
+        assert any(f.startswith("aligned_demo") for f in produced)
+        assert any(f.startswith("misaligned_demo") for f in produced)
+        assert any(f.endswith(".wav") for f in produced)
