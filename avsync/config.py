@@ -41,12 +41,22 @@ class DataConfig:
     shuffle_seed: int = 42
     # Train/val/test fractions over speakers (`main.py:63-77`).
     split: Tuple[float, float, float] = (0.7, 0.15, 0.15)
+    # Known-bad clip basenames to skip, like the reference's exclude list of
+    # corrupt GRID videos (`train.py:650-653`).
+    exclude: Tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)
 class ModelConfig:
-    """LipNet encoder hyperparameters (`model.py:10-48`)."""
+    """LipNet encoder hyperparameters (`model.py:10-48`).
 
+    family selects the model stack: 'pytorch' is the Conv3D(32/64/96)+BiGRU
+    encoder with blank=0 CTC (`model.py`); 'tf' is the Keras-stack
+    Conv3D(128/256/64)+3xBiLSTM encoder with blank-last CTC
+    (`train.py:495-547`) — see avsync.models.lipnet_tf.
+    """
+
+    family: str = "pytorch"
     vocab_size: int = 39  # 37 chars + blank(0) + <pad> (`dataset.py:41-46`)
     hidden_dim: int = 256
     dropout_rate: float = 0.5

@@ -148,14 +148,21 @@ class GridDataSource:
     transcripts, so it stays cheap to construct and fork across processes.
     """
 
-    def __init__(self, data_path: str, speakers: Optional[Sequence[str]] = None):
+    def __init__(
+        self,
+        data_path: str,
+        speakers: Optional[Sequence[str]] = None,
+        exclude: Sequence[str] = (),
+    ):
         self.data_path = data_path
         self.speakers = (
             list(speakers) if speakers is not None else discover_speakers(data_path)
         )
+        excl = set(exclude)
         self.samples = [
             GridSample(v, a, textlib.load_align_file(a))
             for v, a in discover_samples(data_path, self.speakers)
+            if os.path.splitext(os.path.basename(v))[0] not in excl
         ]
 
     def __len__(self) -> int:
@@ -165,17 +172,26 @@ class GridDataSource:
     def video_paths(self) -> List[str]:
         return [s.video_path for s in self.samples]
 
-    def labels_batch(self, indices: Sequence[int], max_label_length: int):
-        """Padded label indices + lengths for a set of samples."""
+    def labels_batch(
+        self,
+        indices: Sequence[int],
+        max_label_length: int,
+        vocab: str = "pytorch",
+    ):
+        """Padded label indices + lengths for a set of samples. vocab selects
+        the encoding: 'pytorch' (blank=0, `dataset.py:38-46`) or 'tf'
+        (StringLookup with OOV=0, blank-last, `train.py:106-121`)."""
         import numpy as np
 
         B = len(indices)
         labels = np.zeros((B, max_label_length), np.int32)
         lengths = np.zeros((B,), np.int32)
         for i, idx in enumerate(indices):
-            ids = textlib.text_to_indices(self.samples[idx].text)[
-                :max_label_length
-            ]
+            t = self.samples[idx].text
+            if vocab == "tf":
+                ids = textlib.tf_text_to_indices(t, max_label_length)
+            else:
+                ids = textlib.text_to_indices(t)[:max_label_length]
             labels[i, : len(ids)] = ids
             lengths[i] = len(ids)
         return labels, lengths

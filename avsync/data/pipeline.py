@@ -164,7 +164,8 @@ class LipNetBatcher:
                     ]
                 )
                 labels, lengths = self.source.labels_batch(
-                    list(idx), d.max_label_length
+                    list(idx), d.max_label_length,
+                    vocab=self.cfg.model.family,
                 )
                 yield {"raw": raws, "labels": labels,
                        "label_lengths": lengths, "valid": valid}

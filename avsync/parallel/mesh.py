@@ -65,7 +65,7 @@ def lipnet_param_spec(params: Any, model_axis_size: int = 0) -> Any:
     """PartitionSpec tree for LipNet params.
 
     Tensor-parallel rule (active when the 'model' axis size > 1):
-      * GRU input/hidden projections shard their 3H output columns over
+      * GRU/LSTM input/hidden projections shard their 3H output columns over
         'model' — each shard computes a slice of the gates; biases shard
         alike. (The recurrent matmul then needs its H input gathered; XLA
         inserts the all-gather.)
@@ -86,7 +86,7 @@ def lipnet_param_spec(params: Any, model_axis_size: int = 0) -> Any:
         keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
         name = "/".join(str(k) for k in keys)
         ndim = getattr(leaf, "ndim", 0)
-        if "gru" in name:
+        if "gru" in name or "lstm" in name:
             if ndim == 2:  # (D, 3H) / (H, 3H)
                 return P(None, MODEL_AXIS) if ok(leaf, 1) else P()
             return P(MODEL_AXIS) if ok(leaf, 0) else P()  # (3H,) biases

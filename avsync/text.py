@@ -152,3 +152,43 @@ def decode_batch(log_probs, blank_id: int = BLANK_ID) -> List[str]:
 def decode_prediction(log_probs_single) -> str:
     """Single-sequence decode, mirroring `utils.py:8-36` (T, V) -> str."""
     return decode_batch(jnp.asarray(log_probs_single)[None])[0]
+
+
+# ---------------------------------------------------------------------------
+# TF-stack vocabulary (`train.py:106-121`)
+# ---------------------------------------------------------------------------
+# The Keras stack uses StringLookup over "abc...z'?! " with an OOV token at
+# index 0, model output width vocabulary_size()+1 = 32, and the Keras CTC
+# blank at the LAST index (ctc_batch_cost convention), not 0.
+
+TF_CHARACTERS: str = "abcdefghijklmnopqrstuvwxyz'?! "
+TF_VOCAB_SIZE: int = len(TF_CHARACTERS) + 1  # 31: OOV(0) + 30 chars
+TF_BLANK_ID: int = TF_VOCAB_SIZE  # 31 == last output unit of the 32-way head
+
+TF_CHAR_TO_IDX = {c: i + 1 for i, c in enumerate(TF_CHARACTERS)}
+TF_IDX_TO_CHAR = {i + 1: c for i, c in enumerate(TF_CHARACTERS)}
+
+
+def tf_text_to_indices(text: str, max_len: int = 40) -> np.ndarray:
+    """char_to_num + 40-char cap (`train.py:300-305`); unknown chars -> 0."""
+    ids = [TF_CHAR_TO_IDX.get(ch, 0) for ch in text][:max_len]
+    return np.array(ids, dtype=np.int32)
+
+
+def tf_indices_to_text(indices: Sequence[int]) -> str:
+    """num_to_char join, OOV/blank render as '' (`train.py:596-602`)."""
+    return "".join(TF_IDX_TO_CHAR.get(int(i), "") for i in indices)
+
+
+def tf_decode_batch(log_probs) -> List[str]:
+    """Greedy ctc_decode with the Keras blank-last convention
+    (`train.py:582-584,874-876`)."""
+    decoded, lengths = ctc_greedy_decode_jit(
+        jnp.asarray(log_probs), TF_BLANK_ID
+    )
+    decoded = np.asarray(decoded)
+    lengths = np.asarray(lengths)
+    return [
+        tf_indices_to_text(decoded[b, : int(lengths[b])])
+        for b in range(decoded.shape[0])
+    ]

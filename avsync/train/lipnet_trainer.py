@@ -42,24 +42,54 @@ class TrainState(NamedTuple):
 
 def make_optimizer(learning_rate: float, grad_clip_norm: float) -> optax.GradientTransformation:
     """clip-by-global-norm(1.0) -> Adam with torch defaults
-    (`trainer.py:23,68`: lr=1e-4, betas=(0.9, 0.999), eps=1e-8)."""
+    (`trainer.py:23,68`: lr=1e-4, betas=(0.9, 0.999), eps=1e-8).
+
+    The learning rate enters the jitted step as a runtime scalar (the train
+    step rescales the unit-lr Adam direction), so LR schedules — the TF
+    stack's flat->halving->exponential (`train.py:611-618`) or anything
+    else — never trigger recompilation.
+    """
+    del learning_rate  # applied in the train step; see make_train_step
     return optax.chain(
         optax.clip_by_global_norm(grad_clip_norm),
-        optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
     )
 
 
+def keras_lr_schedule(epoch: int, lr: float) -> float:
+    """The TF stack's LearningRateScheduler (`train.py:611-618`): flat for 30
+    epochs, halve each epoch until 60, then exp(-0.1) decay per epoch.
+    `epoch` is 0-based as Keras passes it."""
+    if epoch < 30:
+        return lr
+    if epoch < 60:
+        return lr * 0.5
+    return lr * float(np.exp(-0.1))
+
+
 def make_train_step(
-    model: LipNet,
+    model,
     optimizer: optax.GradientTransformation,
+    loss_fn_impl: Optional[Callable] = None,
 ) -> Callable:
-    """Returns train_step(state, batch, rng) -> (state, metrics).
+    """Returns train_step(state, batch, rng, lr) -> (state, metrics).
 
     batch: {'video': (B,T,H,W,1) f32, 'labels': (B,L) i32,
             'label_lengths': (B,) i32}
-    """
 
-    def train_step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+    loss_fn_impl(log_probs, labels, label_lengths) defaults to the PyTorch
+    stack's length-normalized CTC; the TF family passes its blank-last,
+    unnormalized variant.
+    """
+    if loss_fn_impl is None:
+        loss_fn_impl = ctc_loss_mean
+
+    def train_step(
+        state: TrainState,
+        batch: Dict[str, jax.Array],
+        rng: jax.Array,
+        lr: jax.Array,
+    ):
         step_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
@@ -69,12 +99,13 @@ def make_train_step(
                 train=True,
                 rngs={"dropout": step_rng},
             )
-            return ctc_loss_mean(
+            return loss_fn_impl(
                 log_probs, batch["labels"], batch["label_lengths"]
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
         params = optax.apply_updates(state.params, updates)
         metrics = {
             "loss": loss,
@@ -85,10 +116,13 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(model: LipNet) -> Callable:
+def make_eval_step(model, loss_fn_impl: Optional[Callable] = None) -> Callable:
+    if loss_fn_impl is None:
+        loss_fn_impl = ctc_loss_mean
+
     def eval_step(params, batch):
         log_probs = model.apply({"params": params}, batch["video"], train=False)
-        loss = ctc_loss_mean(log_probs, batch["labels"], batch["label_lengths"])
+        loss = loss_fn_impl(log_probs, batch["labels"], batch["label_lengths"])
         return loss, log_probs
 
     return eval_step
@@ -112,13 +146,31 @@ class LipNetTrainer:
             config.train.mesh_shape
         )
         self.log = log or Logger(None, console=True)
-        self.model = LipNet(config.model)
+        if config.model.family == "tf":
+            from avsync.models.lipnet_tf import (
+                TFLipNet,
+                TFModelConfig,
+                tf_ctc_loss,
+            )
+
+            self.model = TFLipNet(
+                TFModelConfig(
+                    hidden_dim=config.model.hidden_dim,
+                    dropout_rate=config.model.dropout_rate,
+                )
+            )
+            self._loss_fn = lambda lp, labels, lengths: tf_ctc_loss(lp, labels)
+        else:
+            self.model = LipNet(config.model)
+            self._loss_fn = None  # default ctc_loss_mean
         self.optimizer = make_optimizer(
             config.train.learning_rate, config.train.grad_clip_norm
         )
         self.rng = jax.random.PRNGKey(config.train.seed)
+        self.current_lr = float(config.train.learning_rate)
         self.train_losses: list = []
         self.val_losses: list = []
+        self.lr_history: list = []
         self._compiled = None
 
     # -- initialization ---------------------------------------------------
@@ -149,13 +201,13 @@ class LipNetTrainer:
     @property
     def compiled(self):
         if self._compiled is None:
-            train_step = make_train_step(self.model, self.optimizer)
-            eval_step = make_eval_step(self.model)
+            train_step = make_train_step(self.model, self.optimizer, self._loss_fn)
+            eval_step = make_eval_step(self.model, self._loss_fn)
             data_sh = meshlib.batch_sharding(self.mesh)
             self._compiled = {
                 "train": jax.jit(
                     train_step,
-                    in_shardings=(None, data_sh, None),
+                    in_shardings=(None, data_sh, None, None),
                     donate_argnums=(0,),
                 ),
                 "eval": jax.jit(eval_step, in_shardings=(None, data_sh)),
@@ -177,9 +229,10 @@ class LipNetTrainer:
     # -- epoch loops ------------------------------------------------------
     def train_epoch(self, state: TrainState, loader: Iterable) -> Tuple[TrainState, float]:
         total, n = 0.0, 0
+        lr = np.float32(self.current_lr)
         for batch in loader:
             state, metrics = self.compiled["train"](
-                state, self._device_batch(batch), self.rng
+                state, self._device_batch(batch), self.rng, lr
             )
             total += float(metrics["loss"])
             n += 1
@@ -200,13 +253,24 @@ class LipNetTrainer:
         epochs: Optional[int] = None,
         checkpoint_dir: Optional[str] = None,
         state: Optional[TrainState] = None,
+        lr_schedule: Optional[Callable[[int, float], float]] = None,
+        early_stopping_patience: Optional[int] = None,
+        example_fn: Optional[Callable[[TrainState, int], None]] = None,
+        history_path: Optional[str] = None,
     ) -> TrainState:
         """Full training run. Loader fns are called per epoch (fresh iterators).
 
         Checkpoints every `checkpoint_every` epochs + a final snapshot, both
         carrying the config (`trainer.py:144-156` semantics, Orbax format).
-        Supports resume: pass a restored `state`.
+        Supports resume (pass a restored `state`) and the TF stack's training
+        features: `lr_schedule` (e.g. keras_lr_schedule, `train.py:611-618`),
+        `early_stopping_patience` with best-weights restore
+        (`train.py:737-742`), `example_fn` per-epoch qualitative decode (the
+        ProduceExample callback, `train.py:552-608`), and `history_path` for
+        the history JSON (`train.py:769-771`).
         """
+        import json as jsonlib
+
         cfg = self.config.train
         epochs = epochs if epochs is not None else cfg.epochs
         ckpt_dir = checkpoint_dir or cfg.checkpoint_dir
@@ -218,16 +282,23 @@ class LipNetTrainer:
 
         self.log.log(f"Starting training for {epochs} epochs...")
         t0 = time.time()
+        best_val, best_snapshot, stall = float("inf"), None, 0
         for epoch in range(1, epochs + 1):
+            if lr_schedule is not None:
+                self.current_lr = float(lr_schedule(epoch - 1, self.current_lr))
             te = time.time()
             state, train_loss = self.train_epoch(state, train_loader_fn())
             val_loss = self.validate(state, val_loader_fn())
             self.train_losses.append(train_loss)
             self.val_losses.append(val_loss)
+            self.lr_history.append(self.current_lr)
             self.log.log(
                 f"Epoch {epoch}/{epochs} | train_loss={train_loss:.4f} "
-                f"val_loss={val_loss:.4f} | time={format_time(time.time() - te)}"
+                f"val_loss={val_loss:.4f} | lr={self.current_lr:.2e} | "
+                f"time={format_time(time.time() - te)}"
             )
+            if example_fn is not None:
+                example_fn(state, epoch)
             if epoch % cfg.checkpoint_every == 0:
                 ckpt.save(
                     epoch,
@@ -236,9 +307,36 @@ class LipNetTrainer:
                     metrics={"train_loss": train_loss, "val_loss": val_loss},
                 )
                 self.log.log(f"Saved checkpoint: epoch_{epoch}")
+            if early_stopping_patience is not None:
+                if val_loss < best_val:
+                    best_val, stall = val_loss, 0
+                    best_snapshot = jax.device_get(state)
+                else:
+                    stall += 1
+                    if stall >= early_stopping_patience:
+                        self.log.log(
+                            f"Early stopping at epoch {epoch} "
+                            f"(no val improvement for {stall} epochs); "
+                            "restoring best weights"
+                        )
+                        state = self.shard_state(
+                            TrainState(*best_snapshot)
+                        )
+                        break
 
         ckpt.save(epochs + 1, jax.device_get(state), config=self.config)
         ckpt.close()
+        if history_path:
+            with open(history_path, "w") as f:
+                jsonlib.dump(
+                    {
+                        "loss": self.train_losses,
+                        "val_loss": self.val_losses,
+                        "lr": self.lr_history,
+                    },
+                    f,
+                    indent=2,
+                )
         self.log.log(
             f"Training completed in {format_time(time.time() - t0)}. Model saved."
         )

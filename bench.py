@@ -49,13 +49,17 @@ def main() -> None:
     # Warmup / compile. NOTE: fetch the loss VALUE — through the axon tunnel
     # block_until_ready returns before device execution completes, which
     # inflates throughput ~100x; a host value round-trip is the honest sync.
-    state, metrics = trainer.compiled["train"](state, dbatch, trainer.rng)
+    state, metrics = trainer.compiled["train"](
+        state, dbatch, trainer.rng, np.float32(trainer.current_lr)
+    )
     float(metrics["loss"])
 
     n_steps = 5
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        state, metrics = trainer.compiled["train"](state, dbatch, trainer.rng)
+        state, metrics = trainer.compiled["train"](
+            state, dbatch, trainer.rng, np.float32(trainer.current_lr)
+        )
     float(metrics["loss"])
     dt = time.perf_counter() - t0
 

@@ -83,7 +83,8 @@ class TestTrainStep:
         losses = []
         for _ in range(5):
             state, m = trainer.compiled["train"](
-                state, trainer._device_batch(batch), trainer.rng
+                state, trainer._device_batch(batch), trainer.rng,
+                np.float32(trainer.current_lr),
             )
             losses.append(float(m["loss"]))
         assert all(np.isfinite(losses))
@@ -105,7 +106,8 @@ class TestTrainStep:
             trainer.rng = jax.random.PRNGKey(7)
             state = trainer.init_state(batch)
             _, m = trainer.compiled["train"](
-                state, trainer._device_batch(batch), trainer.rng
+                state, trainer._device_batch(batch), trainer.rng,
+                np.float32(trainer.current_lr),
             )
             losses[shape] = float(m["loss"])
         base = losses[(8, 1)]
