@@ -34,6 +34,11 @@ class DataConfig:
     max_label_length: int = 40
     # Heuristic mouth ROI fractions (row_start, col_start, col_end).
     mouth_crop: Tuple[float, float, float] = (0.6, 0.3, 0.7)
+    # ROI strategy: 'heuristic' = fixed fractions above (`dataset.py:216-218`);
+    # 'detector' = host MouthDetector boxes (dlib/Haar-equivalent,
+    # `train.py:126-188`) + device crop; 'variance' = fully on-device
+    # temporal-variance localization (avsync.ops.image.variance_mouth_boxes).
+    roi_mode: str = "heuristic"
     # Per-clip standardization instead of /255 (the TF stack's convention,
     # `train.py:266-273`); off by default for parity with the PyTorch stack.
     standardize_clips: bool = False

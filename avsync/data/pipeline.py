@@ -69,18 +69,41 @@ class LipNetBatcher:
         self.cfg = config
         self.mesh = mesh  # when set, raw batches land sharded over 'data'
         self._preproc_cache: Dict = {}
+        self._detector = None
+        if config.data.roi_mode == "detector":
+            from avsync.data.mouth import MouthDetector
+
+            self._detector = MouthDetector()
 
     # -- device preprocessing, compiled per input geometry ----------------
-    def _preprocess(self, raw: np.ndarray) -> jax.Array:
+    def _preprocess(self, raw: np.ndarray, boxes=None) -> jax.Array:
         d = self.cfg.data
-        key = raw.shape[2:]
+        key = raw.shape[2:] + (boxes is not None,)
         fn = self._preproc_cache.get(key)
         if fn is None:
             target = (d.img_height, d.img_width)
 
-            if key == target:
+            if boxes is not None:
+                def run(x, b):  # host detector boxes -> device crop+resize
+                    out = imglib.crop_resize_boxes(
+                        x.astype(jnp.float32), b,
+                        (d.img_height, d.img_width),
+                    ) * (1.0 / 255.0)
+                    return out[..., None]
+            elif key[:2] == target:
                 def run(x):  # already mouth-cropped (preprocessed .npy path)
                     out = x.astype(jnp.float32) * (1.0 / 255.0)
+                    return out[..., None]
+            elif d.roi_mode == "variance":
+                def run(x):  # on-device ROI localization + per-clip box crop
+                    xf = x.astype(jnp.float32)
+                    boxes = imglib.variance_mouth_boxes(xf)  # (B, 4)
+                    per_frame = jnp.broadcast_to(
+                        boxes[:, None, :], (x.shape[0], x.shape[1], 4)
+                    )
+                    out = imglib.crop_resize_boxes(
+                        xf, per_frame, (d.img_height, d.img_width)
+                    ) * (1.0 / 255.0)
                     return out[..., None]
             else:
                 def run(x):
@@ -90,8 +113,8 @@ class LipNetBatcher:
                         crop=d.mouth_crop,
                     )
 
-            def maybe_standardize(x):
-                out = run(x)
+            def maybe_standardize(x, *b):
+                out = run(x, *b)
                 if d.standardize_clips:
                     out = imglib.standardize_clips(out)
                 return out
@@ -99,17 +122,19 @@ class LipNetBatcher:
             if self.mesh is not None:
                 from avsync.parallel import batch_sharding
 
-                fn = jax.jit(
-                    maybe_standardize, in_shardings=batch_sharding(self.mesh)
-                )
+                sh = batch_sharding(self.mesh)
+                shardings = (sh, sh) if boxes is not None else sh
+                fn = jax.jit(maybe_standardize, in_shardings=shardings)
             else:
                 fn = jax.jit(maybe_standardize)
             self._preproc_cache[key] = fn
+        args = (raw,) if boxes is None else (raw, np.asarray(boxes, np.float32))
         if self.mesh is not None:
             from avsync.parallel import batch_sharding
 
-            raw = jax.device_put(raw, batch_sharding(self.mesh))
-        return fn(raw)
+            sh = batch_sharding(self.mesh)
+            args = tuple(jax.device_put(a, sh) for a in args)
+        return fn(*args)
 
     def _decode_clip(self, video_path: str) -> np.ndarray:
         d = self.cfg.data
@@ -163,15 +188,22 @@ class LipNetBatcher:
                         for j in idx
                     ]
                 )
+                boxes = None
+                if self._detector is not None and raws.shape[2:] != (
+                    d.img_height, d.img_width,
+                ):
+                    boxes = np.stack(
+                        [self._detector.detect_clip(clip) for clip in raws]
+                    )
                 labels, lengths = self.source.labels_batch(
                     list(idx), d.max_label_length,
                     vocab=self.cfg.model.family,
                 )
-                yield {"raw": raws, "labels": labels,
+                yield {"raw": raws, "boxes": boxes, "labels": labels,
                        "label_lengths": lengths, "valid": valid}
 
         for hb in prefetch(batches(), prefetch_size):
-            video = self._preprocess(hb["raw"])
+            video = self._preprocess(hb["raw"], hb.get("boxes"))
             yield {
                 "video": video,
                 "labels": hb["labels"],

@@ -1,0 +1,218 @@
+// avsync native ingest stage: FFmpeg/libav demux + decode for video frames
+// (grayscale uint8) and audio (mono float32), exposed through a C ABI for
+// ctypes (no pybind11 in this environment).
+//
+// Replaces the reference's host decode paths — cv2.VideoCapture per-frame
+// loops (dataset.py:201-236), cv2 FPS probing (misalignment_detection_
+// train.py:91-97), and the librosa/moviepy audio chain
+// (misalignment_detection_train.py:170-197) — with one pass over the
+// container: the demuxer fans packets out to both codecs, video planes are
+// converted to gray8 with libswscale, and audio is resampled to mono f32 at
+// the requested rate with libswresample. Python sees pinned numpy-ready
+// buffers; everything downstream (crop/resize/normalize/MFCC) runs on TPU.
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswresample/swresample.h>
+#include <libswscale/swscale.h>
+}
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct Decoded {
+  std::vector<uint8_t> video;  // T*H*W gray8
+  int n_frames = 0;
+  int height = 0;
+  int width = 0;
+  double fps = 0.0;
+  std::vector<float> audio;  // mono f32
+  int sample_rate = 0;
+  char error[256] = {0};
+};
+
+void set_error(Decoded* d, const char* msg) {
+  std::strncpy(d->error, msg, sizeof(d->error) - 1);
+}
+
+// Drain every frame currently decodable from `ctx` and append.
+int drain_video(AVCodecContext* ctx, SwsContext** sws, AVFrame* frame,
+                Decoded* out, int max_frames) {
+  int ret;
+  while ((ret = avcodec_receive_frame(ctx, frame)) == 0) {
+    if (max_frames > 0 && out->n_frames >= max_frames) {
+      av_frame_unref(frame);
+      continue;  // keep draining so the decoder stays healthy
+    }
+    if (out->height == 0) {
+      out->height = frame->height;
+      out->width = frame->width;
+    }
+    *sws = sws_getCachedContext(*sws, frame->width, frame->height,
+                                (AVPixelFormat)frame->format, out->width,
+                                out->height, AV_PIX_FMT_GRAY8, SWS_BILINEAR,
+                                nullptr, nullptr, nullptr);
+    size_t off = out->video.size();
+    out->video.resize(off + (size_t)out->height * out->width);
+    uint8_t* dst_data[4] = {out->video.data() + off, nullptr, nullptr, nullptr};
+    int dst_linesize[4] = {out->width, 0, 0, 0};
+    sws_scale(*sws, frame->data, frame->linesize, 0, frame->height, dst_data,
+              dst_linesize);
+    out->n_frames++;
+    av_frame_unref(frame);
+  }
+  return ret == AVERROR(EAGAIN) || ret == AVERROR_EOF ? 0 : ret;
+}
+
+int drain_audio(AVCodecContext* ctx, SwrContext* swr, AVFrame* frame,
+                Decoded* out, int target_sr) {
+  int ret;
+  while ((ret = avcodec_receive_frame(ctx, frame)) == 0) {
+    int max_out =
+        (int)av_rescale_rnd(swr_get_delay(swr, ctx->sample_rate) +
+                                frame->nb_samples,
+                            target_sr, ctx->sample_rate, AV_ROUND_UP);
+    size_t off = out->audio.size();
+    out->audio.resize(off + max_out);
+    uint8_t* dst = (uint8_t*)(out->audio.data() + off);
+    int got = swr_convert(swr, &dst, max_out,
+                          (const uint8_t**)frame->extended_data,
+                          frame->nb_samples);
+    if (got < 0) return got;
+    out->audio.resize(off + got);
+    av_frame_unref(frame);
+  }
+  return ret == AVERROR(EAGAIN) || ret == AVERROR_EOF ? 0 : ret;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode `path`. max_frames <= 0 means all frames. target_sr <= 0 keeps the
+// stream's native sample rate. Returns an opaque handle (never null); check
+// avs_error() for failure.
+void* avs_decode(const char* path, int max_frames, int target_sr) {
+  av_log_set_level(AV_LOG_ERROR);  // silence swscaler format chatter
+  auto* out = new Decoded();
+  AVFormatContext* fmt = nullptr;
+  if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) {
+    set_error(out, "cannot open input");
+    return out;
+  }
+  if (avformat_find_stream_info(fmt, nullptr) < 0) {
+    set_error(out, "no stream info");
+    avformat_close_input(&fmt);
+    return out;
+  }
+
+  int vidx = av_find_best_stream(fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+  int aidx = av_find_best_stream(fmt, AVMEDIA_TYPE_AUDIO, -1, -1, nullptr, 0);
+
+  AVCodecContext *vctx = nullptr, *actx = nullptr;
+  SwsContext* sws = nullptr;
+  SwrContext* swr = nullptr;
+
+  if (vidx >= 0) {
+    const AVCodec* dec =
+        avcodec_find_decoder(fmt->streams[vidx]->codecpar->codec_id);
+    if (dec) {
+      vctx = avcodec_alloc_context3(dec);
+      avcodec_parameters_to_context(vctx, fmt->streams[vidx]->codecpar);
+      if (avcodec_open2(vctx, dec, nullptr) < 0) {
+        avcodec_free_context(&vctx);
+      } else {
+        AVRational r = av_guess_frame_rate(fmt, fmt->streams[vidx], nullptr);
+        out->fps = r.den ? av_q2d(r) : 0.0;
+      }
+    }
+  }
+  if (aidx >= 0) {
+    const AVCodec* dec =
+        avcodec_find_decoder(fmt->streams[aidx]->codecpar->codec_id);
+    if (dec) {
+      actx = avcodec_alloc_context3(dec);
+      avcodec_parameters_to_context(actx, fmt->streams[aidx]->codecpar);
+      if (avcodec_open2(actx, dec, nullptr) < 0) {
+        avcodec_free_context(&actx);
+      } else {
+        out->sample_rate = target_sr > 0 ? target_sr : actx->sample_rate;
+        AVChannelLayout mono = AV_CHANNEL_LAYOUT_MONO;
+        swr_alloc_set_opts2(&swr, &mono, AV_SAMPLE_FMT_FLT, out->sample_rate,
+                            &actx->ch_layout, actx->sample_fmt,
+                            actx->sample_rate, 0, nullptr);
+        if (!swr || swr_init(swr) < 0) {
+          if (swr) swr_free(&swr);
+          avcodec_free_context(&actx);
+          out->sample_rate = 0;
+        }
+      }
+    }
+  }
+
+  if (!vctx && !actx) {
+    set_error(out, "no decodable streams");
+  } else {
+    AVPacket* pkt = av_packet_alloc();
+    AVFrame* frame = av_frame_alloc();
+    while (av_read_frame(fmt, pkt) >= 0) {
+      if (vctx && pkt->stream_index == vidx) {
+        if (avcodec_send_packet(vctx, pkt) == 0)
+          drain_video(vctx, &sws, frame, out, max_frames);
+      } else if (actx && pkt->stream_index == aidx) {
+        if (avcodec_send_packet(actx, pkt) == 0)
+          drain_audio(actx, swr, frame, out, out->sample_rate);
+      }
+      av_packet_unref(pkt);
+    }
+    // flush decoders
+    if (vctx) {
+      avcodec_send_packet(vctx, nullptr);
+      drain_video(vctx, &sws, frame, out, max_frames);
+    }
+    if (actx) {
+      avcodec_send_packet(actx, nullptr);
+      drain_audio(actx, swr, frame, out, out->sample_rate);
+      // flush the resampler's internal delay line
+      int tail = (int)swr_get_delay(swr, out->sample_rate);
+      if (tail > 0) {
+        size_t off = out->audio.size();
+        out->audio.resize(off + tail);
+        uint8_t* dst = (uint8_t*)(out->audio.data() + off);
+        int got = swr_convert(swr, &dst, tail, nullptr, 0);
+        out->audio.resize(off + (got > 0 ? got : 0));
+      }
+    }
+    av_packet_free(&pkt);
+    av_frame_free(&frame);
+  }
+
+  if (sws) sws_freeContext(sws);
+  if (swr) swr_free(&swr);
+  if (vctx) avcodec_free_context(&vctx);
+  if (actx) avcodec_free_context(&actx);
+  avformat_close_input(&fmt);
+  return out;
+}
+
+const char* avs_error(void* h) {
+  auto* d = (Decoded*)h;
+  return d->error[0] ? d->error : nullptr;
+}
+int avs_n_frames(void* h) { return ((Decoded*)h)->n_frames; }
+int avs_height(void* h) { return ((Decoded*)h)->height; }
+int avs_width(void* h) { return ((Decoded*)h)->width; }
+double avs_fps(void* h) { return ((Decoded*)h)->fps; }
+int avs_n_samples(void* h) { return (int)((Decoded*)h)->audio.size(); }
+int avs_sample_rate(void* h) { return ((Decoded*)h)->sample_rate; }
+const uint8_t* avs_video_data(void* h) { return ((Decoded*)h)->video.data(); }
+const float* avs_audio_data(void* h) { return ((Decoded*)h)->audio.data(); }
+void avs_release(void* h) { delete (Decoded*)h; }
+
+}  // extern "C"

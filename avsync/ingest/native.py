@@ -1,0 +1,120 @@
+"""ctypes wrapper for the C++ libav ingest library (ingest.cpp).
+
+Auto-builds `libavsingest.so` with the bundled Makefile on first use when a
+toolchain is present; callers degrade to the cv2 path when unavailable
+(avsync.data.video routes through `available()`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libavsingest.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _DIR, "-s"],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.avs_decode.restype = ctypes.c_void_p
+        lib.avs_decode.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+        lib.avs_error.restype = ctypes.c_char_p
+        lib.avs_error.argtypes = [ctypes.c_void_p]
+        for name in ("avs_n_frames", "avs_height", "avs_width",
+                     "avs_n_samples", "avs_sample_rate"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int
+            fn.argtypes = [ctypes.c_void_p]
+        lib.avs_fps.restype = ctypes.c_double
+        lib.avs_fps.argtypes = [ctypes.c_void_p]
+        lib.avs_video_data.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.avs_video_data.argtypes = [ctypes.c_void_p]
+        lib.avs_audio_data.restype = ctypes.POINTER(ctypes.c_float)
+        lib.avs_audio_data.argtypes = [ctypes.c_void_p]
+        lib.avs_release.restype = None
+        lib.avs_release.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode(
+    path: str, max_frames: int = 0, target_sr: int = 0
+) -> Tuple[np.ndarray, float, np.ndarray, int]:
+    """Full decode: (video (T,H,W) uint8, fps, audio f32 mono, sample_rate).
+
+    Raises RuntimeError on demux/codec failure.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native ingest library unavailable")
+    h = lib.avs_decode(path.encode(), int(max_frames), int(target_sr))
+    try:
+        err = lib.avs_error(h)
+        if err:
+            raise RuntimeError(f"ingest: {err.decode()} ({path})")
+        T, H, W = lib.avs_n_frames(h), lib.avs_height(h), lib.avs_width(h)
+        if T > 0:
+            video = np.ctypeslib.as_array(
+                lib.avs_video_data(h), shape=(T, H, W)
+            ).copy()
+        else:
+            video = np.zeros((0, 0, 0), np.uint8)
+        n = lib.avs_n_samples(h)
+        audio = (
+            np.ctypeslib.as_array(lib.avs_audio_data(h), shape=(n,)).copy()
+            if n > 0
+            else np.zeros(0, np.float32)
+        )
+        return video, float(lib.avs_fps(h)), audio, int(lib.avs_sample_rate(h))
+    finally:
+        lib.avs_release(h)
+
+
+def decode_video_gray(path: str, max_frames: Optional[int] = None) -> np.ndarray:
+    video, _, _, _ = decode(path, max_frames or 0)
+    return video
+
+
+def get_fps(path: str) -> float:
+    _, fps, _, _ = decode(path, max_frames=1)
+    return fps
+
+
+def decode_audio(path: str, target_sr: int = 0) -> Tuple[np.ndarray, int]:
+    _, _, audio, sr = decode(path, max_frames=1, target_sr=target_sr)
+    return audio, sr

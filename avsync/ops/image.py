@@ -124,6 +124,89 @@ def pad_or_truncate_time(
     return out, lengths
 
 
+def crop_resize_boxes(
+    frames: jax.Array, boxes: jax.Array, out_hw: Tuple[int, int]
+) -> jax.Array:
+    """ROI-align-style crop+resize from per-frame normalized boxes, on device.
+
+    frames: (..., H, W); boxes: (..., 4) as (y0, y1, x0, x1) in [0, 1] —
+    e.g. host-side mouth detections (avsync.data.mouth.MouthDetector). Each
+    frame is bilinearly sampled on an out_hw grid spanning its own box with
+    cv2 half-pixel convention, so a full-frame box reproduces
+    `resize_bilinear` exactly. One fused XLA program; batch/time dims vmap.
+    """
+    H, W = frames.shape[-2], frames.shape[-1]
+    h, w = out_hw
+
+    def one(frame, box):
+        y0, y1, x0, x1 = box[0], box[1], box[2], box[3]
+        bh = (y1 - y0) * H
+        bw = (x1 - x0) * W
+        sy = (jnp.arange(h) + 0.5) * (bh / h) - 0.5 + y0 * H
+        sx = (jnp.arange(w) + 0.5) * (bw / w) - 0.5 + x0 * W
+        yf = jnp.floor(sy)
+        xf = jnp.floor(sx)
+        fy = jnp.where(yf < 0, 0.0, sy - yf)[:, None]
+        fx = jnp.where(xf < 0, 0.0, sx - xf)[None, :]
+        yi0 = jnp.clip(yf.astype(jnp.int32), 0, H - 1)
+        yi1 = jnp.clip(yf.astype(jnp.int32) + 1, 0, H - 1)
+        xi0 = jnp.clip(xf.astype(jnp.int32), 0, W - 1)
+        xi1 = jnp.clip(xf.astype(jnp.int32) + 1, 0, W - 1)
+        r0 = frame[yi0, :]
+        r1 = frame[yi1, :]
+        top = r0[:, xi0] * (1 - fx) + r0[:, xi1] * fx
+        bot = r1[:, xi0] * (1 - fx) + r1[:, xi1] * fx
+        return top * (1 - fy) + bot * fy
+
+    lead = frames.shape[:-2]
+    flat_frames = frames.reshape((-1,) + frames.shape[-2:])
+    flat_boxes = boxes.reshape((-1, 4))
+    out = jax.vmap(one)(flat_frames, flat_boxes)
+    return out.reshape(lead + (h, w))
+
+
+def variance_mouth_boxes(
+    clips: jax.Array,
+    box_frac: Tuple[float, float] = (0.35, 0.45),
+    lower_half_only: bool = True,
+) -> jax.Array:
+    """Model-free, fully on-device mouth localization from temporal variance.
+
+    A talking mouth is the highest-temporal-variance region of a lip-reading
+    clip. For each clip (B, T, H, W): per-pixel variance over time, blurred
+    by a box filter the size of the target ROI (box_frac of H and W),
+    restricted to the lower half (where GRID mouths live, cf. the heuristic
+    at `dataset.py:216-218`), argmax -> one (y0, y1, x0, x1) normalized box
+    per clip. This is the TPU-native replacement for dlib/Haar detection in
+    environments without those models — no host work, no weights, jittable.
+    """
+    B, T, H, W = clips.shape
+    bh = max(2, int(H * box_frac[0]))
+    bw = max(2, int(W * box_frac[1]))
+
+    var = jnp.var(clips.astype(jnp.float32), axis=1)  # (B, H, W)
+    # integral-image box sum -> mean variance inside each candidate box
+    ii = jnp.cumsum(jnp.cumsum(var, axis=1), axis=2)
+    ii = jnp.pad(ii, ((0, 0), (1, 0), (1, 0)))
+    nh, nw = H - bh + 1, W - bw + 1
+    score = (
+        ii[:, bh : bh + nh, bw : bw + nw]
+        - ii[:, bh : bh + nh, :nw]
+        - ii[:, :nh, bw : bw + nw]
+        + ii[:, :nh, :nw]
+    )  # (B, nh, nw): sum of var in box with top-left (y, x)
+    if lower_half_only:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (nh, nw), 0)
+        score = jnp.where(rows[None] + bh // 2 >= H // 2, score, -jnp.inf)
+    flat = score.reshape(B, -1)
+    idx = jnp.argmax(flat, axis=1)
+    y = (idx // nw).astype(jnp.float32)
+    x = (idx % nw).astype(jnp.float32)
+    return jnp.stack(
+        [y / H, (y + bh) / H, x / W, (x + bw) / W], axis=-1
+    )  # (B, 4)
+
+
 def resize_area(frames: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
     """cv2 INTER_AREA for integer downscale factors (box average) — the TF
     stack resizes with INTER_AREA (`train.py:252`). Non-integer factors fall

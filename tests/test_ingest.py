@@ -1,0 +1,113 @@
+"""Native libav ingest tests (built on demand; skipped without a toolchain)."""
+
+import numpy as np
+import pytest
+
+from avsync.ingest import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native ingest library not available"
+)
+
+
+@pytest.fixture(scope="module")
+def mjpg_video(tmp_path_factory):
+    """A real container (MJPG .avi) written through cv2, with known frames."""
+    import cv2
+
+    path = str(tmp_path_factory.mktemp("ingest") / "clip.avi")
+    rng = np.random.default_rng(0)
+    T, H, W = 12, 48, 64
+    # smooth frames so MJPG stays near-lossless
+    base = rng.random((H, W)).astype(np.float32)
+    frames = []
+    for t in range(T):
+        f = np.clip(base * 150 + t * 5, 0, 255).astype(np.uint8)
+        frames.append(f)
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 25.0, (W, H))
+    assert vw.isOpened()
+    for f in frames:
+        vw.write(cv2.cvtColor(f, cv2.COLOR_GRAY2BGR))
+    vw.release()
+    return path, np.stack(frames)
+
+
+class TestVideoDecode:
+    def test_decodes_all_frames(self, mjpg_video):
+        path, ref = mjpg_video
+        video, fps, _, _ = native.decode(path)
+        assert video.shape == ref.shape
+        assert abs(fps - 25.0) < 1e-3
+        # MJPG is lossy; frames must still be close
+        assert np.abs(video.astype(int) - ref.astype(int)).mean() < 4.0
+
+    def test_matches_cv2_decode(self, mjpg_video):
+        import cv2
+
+        path, _ = mjpg_video
+        video, _, _, _ = native.decode(path)
+        cap = cv2.VideoCapture(path)
+        cv_frames = []
+        while True:
+            ok, f = cap.read()
+            if not ok:
+                break
+            cv_frames.append(cv2.cvtColor(f, cv2.COLOR_BGR2GRAY))
+        cap.release()
+        cv_frames = np.stack(cv_frames)
+        assert video.shape == cv_frames.shape
+        # both go JPEG->RGB->gray; allow ±2 rounding between swscale and cv2
+        assert np.abs(video.astype(int) - cv_frames.astype(int)).max() <= 2
+
+    def test_max_frames_cap(self, mjpg_video):
+        path, _ = mjpg_video
+        video, _, _, _ = native.decode(path, max_frames=5)
+        assert video.shape[0] == 5
+
+    def test_get_fps(self, mjpg_video):
+        path, _ = mjpg_video
+        assert abs(native.get_fps(path) - 25.0) < 1e-3
+
+
+class TestAudioDecode:
+    def test_wav_roundtrip(self, tmp_path):
+        from avsync.data.video import load_wav, save_wav
+
+        sig = (np.sin(np.linspace(0, 100, 16000)) * 0.6).astype(np.float32)
+        p = str(tmp_path / "t.wav")
+        save_wav(p, sig, 16000)
+        audio, sr = native.decode_audio(p)
+        ref, _ = load_wav(p)
+        assert sr == 16000
+        assert abs(len(audio) - len(ref)) <= 2
+        n = min(len(audio), len(ref))
+        np.testing.assert_allclose(audio[:n], ref[:n], atol=1e-4)
+
+    def test_resample_to_16k(self, tmp_path):
+        from avsync.data.video import save_wav
+
+        sr0 = 48000
+        t = np.arange(sr0) / sr0
+        sig = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        p = str(tmp_path / "t48.wav")
+        save_wav(p, sig, sr0)
+        audio, sr = native.decode_audio(p, target_sr=16000)
+        assert sr == 16000
+        assert abs(len(audio) - 16000) < 50
+        spec = np.abs(np.fft.rfft(audio * np.hanning(len(audio))))
+        peak = np.argmax(spec) * sr / len(audio)
+        assert abs(peak - 440) < 5
+
+    def test_missing_file_raises(self):
+        with pytest.raises(RuntimeError):
+            native.decode("/nonexistent/file.mpg")
+
+
+class TestPipelineIntegration:
+    def test_decode_video_gray_prefers_native(self, mjpg_video, monkeypatch):
+        from avsync.data import video as vid
+
+        path, ref = mjpg_video
+        out = vid.decode_video_gray(path, max_frames=6)
+        assert out.shape[0] == 6
+        assert out.shape[1:] == ref.shape[1:]
