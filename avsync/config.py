@@ -74,6 +74,10 @@ class ModelConfig:
     num_gru_layers: int = 2
     # Compute dtype for conv/GRU matmuls; params are kept in float32.
     compute_dtype: str = "float32"
+    # Run the GRU recurrence with the fused Pallas kernel
+    # (avsync.ops.pallas.gru): VMEM-resident state/weights + streamed DMA.
+    # Forward uses the kernel; backward falls back to the scan VJP.
+    use_pallas_gru: bool = False
 
 
 @dataclass(frozen=True)
@@ -127,6 +131,10 @@ class TrainConfig:
     checkpoint_dir: str = "./checkpoints"
     log_dir: str = "./logs"
     seed: int = 42
+    # Rematerialize the forward pass in backward (jax.checkpoint): trades
+    # ~33% more FLOPs for O(1) activation memory, unlocking larger
+    # per-chip batches (the conv activations dominate HBM here).
+    remat: bool = False
     # Mesh axes: batch is sharded over 'data'; 'model' is the tensor-parallel
     # axis (headroom; 1 by default for this 12.5M-param model).
     mesh_shape: Tuple[int, int] = (-1, 1)  # -1 -> all remaining devices

@@ -35,6 +35,7 @@ class BiGRU(nn.Module):
 
     hidden_dim: int
     compute_dtype: Optional[str] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -55,8 +56,15 @@ class BiGRU(nn.Module):
 
         dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         fwd, bwd = direction("fwd"), direction("bwd")
-        hf = gru_scan(fwd, x, reverse=False, compute_dtype=dt)
-        hb = gru_scan(bwd, x, reverse=True, compute_dtype=dt)
+        scan = gru_scan
+        if self.use_pallas:
+            from avsync.ops.gru import gru_scan_fused
+
+            def scan(p, x, reverse=False, compute_dtype=None):
+                return gru_scan_fused(p, x, reverse=reverse, compute_dtype=compute_dtype)
+
+        hf = scan(fwd, x, reverse=False, compute_dtype=dt)
+        hb = scan(bwd, x, reverse=True, compute_dtype=dt)
         return jnp.concatenate([hf, hb], axis=-1)
 
 
@@ -90,7 +98,12 @@ class LipNet(nn.Module):
             for i in range(len(cfg.conv_channels))
         ]
         self.grus = [
-            BiGRU(cfg.hidden_dim, compute_dtype=cfg.compute_dtype, name=f"gru{i + 1}")
+            BiGRU(
+                cfg.hidden_dim,
+                compute_dtype=cfg.compute_dtype,
+                use_pallas=cfg.use_pallas_gru,
+                name=f"gru{i + 1}",
+            )
             for i in range(cfg.num_gru_layers)
         ]
         self.gru_dropouts = [

@@ -24,6 +24,8 @@ right-multiplication); avsync/compat.py converts `.pth` layouts.
 
 from __future__ import annotations
 
+import functools
+
 from typing import NamedTuple, Tuple
 
 import jax
@@ -98,6 +100,76 @@ def gru_scan(
     gi_t_major = jnp.swapaxes(gi, 0, 1)  # (T, B, 3H)
     _, ys = lax.scan(step, h0, gi_t_major, reverse=reverse)
     return jnp.swapaxes(ys, 0, 1)  # (B, T, H)
+
+
+def gru_scan_fused(
+    params: GRUParams,
+    x: jax.Array,
+    reverse: bool = False,
+    compute_dtype=None,
+) -> jax.Array:
+    """gru_scan with the recurrence executed by the fused Pallas kernel
+    (avsync.ops.pallas.gru): w_hh and the carry stay VMEM-resident across all
+    T steps, inputs/outputs stream with double-buffered DMA.
+
+    Differentiable: the custom VJP recomputes the recurrence with the
+    lax.scan implementation and backprops through that (identical math), so
+    training works; the Pallas path pays off on forward/serving.
+    """
+    dt = compute_dtype or x.dtype
+    gi = (
+        jnp.einsum(
+            "btd,dh->bth",
+            x.astype(dt),
+            params.w_ih.astype(dt),
+            preferred_element_type=jnp.float32,
+        )
+        + params.b_ih
+    )
+    return _pallas_recurrence(gi, params.w_hh, params.b_hh, reverse)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _pallas_recurrence(gi, w_hh, b_hh, reverse):
+    from avsync.ops.pallas.gru import pallas_gru_scan
+
+    return pallas_gru_scan(gi, w_hh, b_hh, reverse=reverse)
+
+
+def _scan_recurrence(gi, w_hh, b_hh, reverse):
+    """Reference recurrence on precomputed gi (same math as gru_scan)."""
+    B, T, threeH = gi.shape
+    H = threeH // 3
+
+    def step(h, gi_t):
+        gh = jnp.dot(h, w_hh, preferred_element_type=jnp.float32) + b_hh
+        gi_r, gi_z, gi_n = jnp.split(gi_t, 3, axis=-1)
+        gh_r, gh_z, gh_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(gi_r + gh_r)
+        z = jax.nn.sigmoid(gi_z + gh_z)
+        n = jnp.tanh(gi_n + r * gh_n)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    h0 = jnp.zeros((B, H), jnp.float32)
+    _, ys = lax.scan(step, h0, jnp.swapaxes(gi, 0, 1), reverse=reverse)
+    return jnp.swapaxes(ys, 0, 1)
+
+
+def _pallas_recurrence_fwd(gi, w_hh, b_hh, reverse):
+    out = _pallas_recurrence(gi, w_hh, b_hh, reverse)
+    return out, (gi, w_hh, b_hh)
+
+
+def _pallas_recurrence_bwd(reverse, residuals, g):
+    gi, w_hh, b_hh = residuals
+    _, vjp = jax.vjp(
+        lambda *a: _scan_recurrence(*a, reverse), gi, w_hh, b_hh
+    )
+    return vjp(g)
+
+
+_pallas_recurrence.defvjp(_pallas_recurrence_fwd, _pallas_recurrence_bwd)
 
 
 def bigru(

@@ -71,6 +71,7 @@ def make_train_step(
     model,
     optimizer: optax.GradientTransformation,
     loss_fn_impl: Optional[Callable] = None,
+    remat: bool = False,
 ) -> Callable:
     """Returns train_step(state, batch, rng, lr) -> (state, metrics).
 
@@ -84,6 +85,15 @@ def make_train_step(
     if loss_fn_impl is None:
         loss_fn_impl = ctc_loss_mean
 
+    def apply_fn(params, video, rngs):
+        return model.apply({"params": params}, video, train=True, rngs=rngs)
+
+    if remat:
+        apply_fn = jax.checkpoint(
+            apply_fn,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
+
     def train_step(
         state: TrainState,
         batch: Dict[str, jax.Array],
@@ -93,11 +103,8 @@ def make_train_step(
         step_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
-            log_probs = model.apply(
-                {"params": params},
-                batch["video"],
-                train=True,
-                rngs={"dropout": step_rng},
+            log_probs = apply_fn(
+                params, batch["video"], {"dropout": step_rng}
             )
             return loss_fn_impl(
                 log_probs, batch["labels"], batch["label_lengths"]
@@ -201,7 +208,10 @@ class LipNetTrainer:
     @property
     def compiled(self):
         if self._compiled is None:
-            train_step = make_train_step(self.model, self.optimizer, self._loss_fn)
+            train_step = make_train_step(
+                self.model, self.optimizer, self._loss_fn,
+                remat=self.config.train.remat,
+            )
             eval_step = make_eval_step(self.model, self._loss_fn)
             data_sh = meshlib.batch_sharding(self.mesh)
             self._compiled = {
@@ -227,15 +237,23 @@ class LipNetTrainer:
         })
 
     # -- epoch loops ------------------------------------------------------
-    def train_epoch(self, state: TrainState, loader: Iterable) -> Tuple[TrainState, float]:
+    def train_epoch(
+        self, state: TrainState, loader: Iterable, metrics_writer=None
+    ) -> Tuple[TrainState, float]:
         total, n = 0.0, 0
         lr = np.float32(self.current_lr)
         for batch in loader:
             state, metrics = self.compiled["train"](
                 state, self._device_batch(batch), self.rng, lr
             )
-            total += float(metrics["loss"])
+            loss = float(metrics["loss"])  # host fetch = honest device sync
+            total += loss
             n += 1
+            if metrics_writer is not None:
+                metrics_writer.write(
+                    int(state.step), loss=loss,
+                    grad_norm=float(metrics["grad_norm"]), lr=float(lr),
+                )
         return state, total / max(n, 1)
 
     def validate(self, state: TrainState, loader: Iterable) -> float:

@@ -29,12 +29,19 @@ def main() -> None:
     from avsync.train import LipNetTrainer
     from avsync.utils.logging import Logger
 
-    cfg = AvsyncConfig()
+    from avsync.config import ModelConfig, TrainConfig
+
+    # Tuned on v5e (scripts/perf_sweep.py): bf16 compute + remat + B=128/chip
+    # is the HBM ceiling: 514 clips/s vs 156 for f32 B=16 (B>=192 OOMs).
+    cfg = AvsyncConfig(
+        model=ModelConfig(compute_dtype="bfloat16"),
+        train=TrainConfig(remat=True),
+    )
     n_dev = len(jax.devices())
     mesh = make_mesh((n_dev, 1))
     trainer = LipNetTrainer(cfg, mesh=mesh, log=Logger(None, console=False))
 
-    B = 16 * n_dev
+    B = 128 * n_dev
     rng = np.random.default_rng(0)
     batch = {
         "video": rng.random((B, 75, 50, 100, 1)).astype(np.float32),
