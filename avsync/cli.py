@@ -216,10 +216,48 @@ def cmd_train(args) -> int:
         print(f"quick_test: input {batch['video'].shape} -> output {out.shape}")
         return 0
 
+    example_fn = None
+    if args.show_examples:
+        from avsync import text as textlib
+
+        ex_batches = {
+            name: next(iter(batchers[name].epoch(shuffle=False, drop_last=False)))
+            for name in ("train", "val")
+        }
+        decode = (
+            textlib.tf_decode_batch
+            if cfg.model.family == "tf"
+            else textlib.decode_batch
+        )
+
+        def example_fn(state, epoch):
+            # per-epoch qualitative decode — the ProduceExample callback
+            # (`train.py:552-608`)
+            for name, b in ex_batches.items():
+                _, lp = trainer.compiled["eval"](
+                    state.params, trainer._device_batch(b)
+                )
+                preds = decode(lp[:2])
+                srcs = sources[name]
+                print(f"[{name} examples, epoch {epoch}]")
+                for i, p in enumerate(preds):
+                    print(f"  original:   {srcs.samples[i].text}")
+                    print(f"  prediction: {p}")
+
+    lr_schedule = None
+    if args.lr_schedule == "keras":
+        from avsync.train.lipnet_trainer import keras_lr_schedule
+
+        lr_schedule = keras_lr_schedule
+
     state = trainer.train(
         lambda: batchers["train"].epoch(shuffle=True, seed=cfg.train.seed),
         lambda: batchers["val"].epoch(shuffle=False),
         checkpoint_dir=cfg.train.checkpoint_dir,
+        lr_schedule=lr_schedule,
+        early_stopping_patience=args.early_stopping,
+        example_fn=example_fn,
+        history_path=os.path.join(cfg.train.checkpoint_dir, "history.json"),
     )
     trainer.plot_losses(os.path.join(cfg.train.checkpoint_dir, "training_history.png"))
 
@@ -414,9 +452,27 @@ def cmd_misalign_train(args) -> int:
         banks[name] = _build_bank(cfg, src, model, params, paths)
     logger.log("Feature banks built (device-resident)")
 
+    from avsync.compat import save_detector_pth
+
+    input_dim = banks["train"].visual.shape[1] + 2 * cfg.audio.n_mfcc
+    det_cfg = {
+        "sample_rate": cfg.audio.sample_rate,
+        "n_mfcc": cfg.audio.n_mfcc,
+        "max_shift_frames": cfg.detector.max_shift_frames,
+    }
+
+    def save_snapshot(st, epoch):
+        save_detector_pth(
+            jax.device_get(st.params),
+            os.path.join(log_folder, f"checkpoint_epoch_{epoch}.pth"),
+            input_dim, cfg.detector.hidden_dim, det_cfg,
+            conv_shape=_conv_shape(cfg), n_audio_feats=2 * cfg.audio.n_mfcc,
+        )
+
     trainer = DetectorTrainer(cfg, log=logger)
     state, summary = trainer.train(
-        banks["train"], len(train_p), banks["val"], len(val_p)
+        banks["train"], len(train_p), banks["val"], len(val_p),
+        save_every=args.save_every, save_fn=save_snapshot,
     )
 
     logger.log("")
@@ -430,14 +486,6 @@ def cmd_misalign_train(args) -> int:
     )
 
     # save detector: reference .pth layout + ROC artifact
-    from avsync.compat import save_detector_pth
-
-    input_dim = banks["train"].visual.shape[1] + 2 * cfg.audio.n_mfcc
-    det_cfg = {
-        "sample_rate": cfg.audio.sample_rate,
-        "n_mfcc": cfg.audio.n_mfcc,
-        "max_shift_frames": cfg.detector.max_shift_frames,
-    }
     for path in (
         os.path.join(log_folder, os.path.basename(args.detector_checkpoint)),
         args.detector_checkpoint,
@@ -596,6 +644,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--quick_test", action="store_true")
     t.add_argument("--export_pth", type=str, default=None,
                    help="also write a reference-format .pth")
+    t.add_argument("--show_examples", action="store_true",
+                   help="decode a few samples each epoch (ProduceExample)")
+    t.add_argument("--lr_schedule", choices=["none", "keras"], default="none",
+                   help="'keras' = flat->halving->exp decay (train.py:611-618)")
+    t.add_argument("--early_stopping", type=int, default=None,
+                   help="patience in epochs; restores best weights")
     t.set_defaults(fn=cmd_train)
 
     te = sub.add_parser("test", help="evaluate CER/WER on the test split")

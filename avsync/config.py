@@ -99,6 +99,9 @@ class AudioConfig:
     # Maximum audio length in samples for the static-shape device pipeline
     # (GRID clips are 3 s @ 25 fps = 75 frames; 3 s @ 16 kHz = 48000).
     max_audio_samples: int = 48000
+    # Fuse mel->dB->DCT->stats into one Pallas kernel (ops/pallas/mfcc.py);
+    # the FFT stays in XLA either way.
+    use_pallas: bool = False
 
     @property
     def hop_length(self) -> int:

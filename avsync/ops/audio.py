@@ -53,6 +53,26 @@ def num_frames(n_samples: int, hop_length: int) -> int:
     return 1 + n_samples // hop_length
 
 
+def power_spectrogram(
+    audio: jax.Array, cfg: AudioConfig = AudioConfig()
+) -> jax.Array:
+    """(B, S) -> (B, F, 1 + n_fft//2) power spectrogram (centered, zero pad)."""
+    S = audio.shape[1]
+    hop = cfg.hop_length
+    n_fft = cfg.n_fft
+    _, _, win = _constants(
+        cfg.sample_rate, n_fft, cfg.n_mels, cfg.n_mfcc, cfg.fmin, cfg.fmax
+    )
+    pad = n_fft // 2
+    ypad = jnp.pad(audio, ((0, 0), (pad, pad)))
+    F = num_frames(S, hop)
+    starts = np.arange(F) * hop
+    idx = starts[:, None] + np.arange(n_fft)[None, :]  # (F, n_fft) static
+    frames = ypad[:, idx]  # (B, F, n_fft) gather
+    spec = jnp.fft.rfft(frames * jnp.asarray(win), axis=-1)
+    return jnp.real(spec) ** 2 + jnp.imag(spec) ** 2  # (B, F, n_bins)
+
+
 def mfcc_frames(
     audio: jax.Array,
     lengths: jax.Array,
@@ -66,21 +86,14 @@ def mfcc_frames(
     B, S = audio.shape
     hop = cfg.hop_length
     n_fft = cfg.n_fft
-    melT, dctT, win = (
+    melT, dctT, _ = (
         jnp.asarray(a)
         for a in _constants(
             cfg.sample_rate, n_fft, cfg.n_mels, cfg.n_mfcc, cfg.fmin, cfg.fmax
         )
     )
-
-    pad = n_fft // 2
-    ypad = jnp.pad(audio, ((0, 0), (pad, pad)))
     F = num_frames(S, hop)
-    starts = np.arange(F) * hop
-    idx = starts[:, None] + np.arange(n_fft)[None, :]  # (F, n_fft) static
-    frames = ypad[:, idx]  # (B, F, n_fft) gather
-    spec = jnp.fft.rfft(frames * win, axis=-1)
-    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2  # (B, F, n_bins)
+    power = power_spectrogram(audio, cfg)
 
     melspec = jnp.einsum(
         "bfk,km->bfm", power, melT, preferred_element_type=jnp.float32
@@ -109,6 +122,23 @@ def audio_stats(
     All-empty audio (length 0) yields zeros, matching the reference's
     empty-audio guard (`:118-119`).
     """
+    if cfg.use_pallas:
+        from avsync.ops.pallas.mfcc import pallas_mel_stats
+
+        melT, dctT, _ = _constants(
+            cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.n_mfcc,
+            cfg.fmin, cfg.fmax,
+        )
+        power = power_spectrogram(audio, cfg)
+        n_valid = 1 + lengths // cfg.hop_length
+        n_valid = jnp.where(lengths > 0, n_valid, 0)
+        return pallas_mel_stats(
+            power, n_valid, jnp.asarray(melT), jnp.asarray(dctT),
+            top_db=cfg.top_db,
+            # Mosaic kernels only compile for TPU; interpret elsewhere.
+            interpret=jax.default_backend() != "tpu",
+        )
+
     mfcc, valid = mfcc_frames(audio, lengths, cfg)
     vm = valid[..., None].astype(mfcc.dtype)
     n = jnp.sum(vm, axis=1)  # (B, 1)

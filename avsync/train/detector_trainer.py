@@ -169,10 +169,13 @@ class DetectorTrainer:
         val_bank: FeatureBank,
         val_videos: int,
         epochs: Optional[int] = None,
+        save_every: Optional[int] = None,
+        save_fn=None,
     ) -> Tuple[DetectorState, Dict[str, float]]:
         """Full run with best-val-AUC selection
-        (`misalignment_detection_train.py:418-444`). Returns (best_state,
-        summary). Checkpointing/artifacts are the caller's concern (cli)."""
+        (`misalignment_detection_train.py:418-444`) and periodic snapshots:
+        every `save_every` epochs, `save_fn(state, epoch)` is invoked (the
+        `--save_every` checkpoints at `:437-440`)."""
         det = self.config.detector
         epochs = epochs or det.epochs
         feature_dim = bank.visual.shape[1] + 2 * self.config.audio.n_mfcc
@@ -198,6 +201,9 @@ class DetectorTrainer:
                 best_auc = va["auc"]
                 best_params = jax.device_get(state.params)
                 self.log.log(f"  -> New best model (val_auc={best_auc:.3f})")
+            if save_every and save_fn and epoch % save_every == 0:
+                save_fn(state, epoch)
+                self.log.log(f"  -> Checkpoint saved: epoch {epoch}")
         if best_params is not None:
             state = DetectorState(
                 jax.tree.map(jnp.asarray, best_params), state.opt_state, state.step
