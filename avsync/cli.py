@@ -411,7 +411,6 @@ def cmd_misalign_train(args) -> int:
 
     from avsync.data import GridDataSource, discover_speakers, split_videos
     from avsync.eval import roc_curve
-    from avsync.features import FeatureBank
     from avsync.models import LipNet
     from avsync.train.detector_trainer import DetectorTrainer
     from avsync.utils.logging import Logger, format_time

@@ -18,7 +18,7 @@ import os
 import random
 from typing import List, Optional
 
-from avsync.data.grid import check_data_structure, discover_samples
+from avsync.data.grid import check_data_structure
 
 GRID_PHRASES = (
     "bin blue at f nine please",

@@ -13,7 +13,6 @@ cv2 decode path transparently; cv2 remains the fallback.
 from __future__ import annotations
 
 import os
-import struct
 import wave
 from typing import Optional, Tuple
 
@@ -154,13 +153,16 @@ def load_audio_for_video(
     wav_path = base + ".wav"
     if os.path.exists(wav_path):
         return load_wav(wav_path)
-    try:
-        from avsync.ingest import native
+    if not video_path.endswith(".npy"):  # .npy carries no audio stream
+        try:
+            from avsync.ingest import native
 
-        if native.available():
-            return native.decode_audio(video_path)
-    except ImportError:
-        pass
+            if native.available():
+                return native.decode_audio(video_path)
+        except ImportError:
+            pass
+        except RuntimeError:
+            pass  # undecodable container -> fall through to silence
     import warnings
 
     warnings.warn(

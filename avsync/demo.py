@@ -15,11 +15,10 @@ identical.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
-from avsync.config import AvsyncConfig
 from avsync.ops import audio_ref
 
 

@@ -15,7 +15,7 @@ Dropout between LSTMs only).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Tuple
 
 import flax.linen as nn

@@ -24,7 +24,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 SEQ_AXIS = "data"  # reuse the mesh's first axis for CP in tests/prototypes
 

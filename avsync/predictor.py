@@ -1,0 +1,149 @@
+"""Serving API: load a checkpoint once, predict many times.
+
+The reference's inference surfaces are scripts (`predict.py`,
+`train.py --mode inference`, `misalignment_detection_demo.py`) that rebuild
+everything per run. These classes are the library equivalent: construct once
+(params on device, steps jitted), then call per clip/batch.
+
+  * `LipReader` — video file/array -> transcript (greedy CTC).
+  * `MisalignmentScorer` — (video, shift) -> sync probability, the demo's
+    scoring core (`misalignment_detection_demo.py:241-250`).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avsync import text as textlib
+from avsync.config import AvsyncConfig
+from avsync.models import LipNet, MisalignmentDetector
+from avsync.ops import image as imglib
+
+
+def _load_params(checkpoint: str, cfg: AvsyncConfig):
+    from avsync.cli import _load_lipnet_params
+
+    return _load_lipnet_params(checkpoint, None, cfg)
+
+
+class LipReader:
+    """Greedy-CTC lipreading from a trained LipNet checkpoint."""
+
+    def __init__(self, checkpoint: str, config: Optional[AvsyncConfig] = None):
+        self.cfg = config or AvsyncConfig()
+        self.model = LipNet(self.cfg.model)
+        self.params = _load_params(checkpoint, self.cfg)
+        self._fwd = jax.jit(
+            lambda p, v: self.model.apply({"params": p}, v)
+        )
+        self._decode = (
+            textlib.tf_decode_batch
+            if self.cfg.model.family == "tf"
+            else textlib.decode_batch
+        )
+
+    def _prepare(self, frames: np.ndarray) -> jax.Array:
+        """(T, H, W) uint8/float -> (1, max_len, h, w, 1) model input."""
+        d = self.cfg.data
+        x = jnp.asarray(frames, jnp.float32)[None]
+        if frames.shape[1:] == (d.img_height, d.img_width):
+            clips = (x * (1.0 / 255.0))[..., None]
+        else:
+            clips = imglib.preprocess_clips(
+                x, (d.img_height, d.img_width), d.mouth_crop
+            )
+        clips, _ = imglib.pad_or_truncate_time(clips, d.max_video_length)
+        return clips
+
+    def predict_frames(self, frames: np.ndarray) -> str:
+        log_probs = self._fwd(self.params, self._prepare(frames))
+        return self._decode(log_probs)[0]
+
+    def predict(self, video_path: str) -> str:
+        from avsync.data.video import decode_video_gray
+
+        frames = decode_video_gray(
+            video_path, max_frames=self.cfg.data.max_video_length
+        )
+        if frames.size == 0:
+            raise ValueError(f"no frames decoded from {video_path}")
+        return self.predict_frames(frames)
+
+    def predict_batch(self, video_paths: Sequence[str]) -> List[str]:
+        return [self.predict(p) for p in video_paths]
+
+
+class MisalignmentScorer:
+    """Audio-visual sync probability for (clip, shift) pairs."""
+
+    def __init__(
+        self,
+        detector_checkpoint: str,
+        lipnet_checkpoint: str,
+        config: Optional[AvsyncConfig] = None,
+    ):
+        from avsync.cli import _conv_shape
+        from avsync.compat import load_detector_pth
+
+        self.cfg = config or AvsyncConfig()
+        det_params, meta = load_detector_pth(
+            detector_checkpoint,
+            conv_shape=_conv_shape(self.cfg),
+            n_audio_feats=2 * self.cfg.audio.n_mfcc,
+        )
+        hidden = int(meta.get("hidden_dim", self.cfg.detector.hidden_dim))
+        self.detector = MisalignmentDetector(hidden_dim=hidden)
+        self.det_params = jax.tree.map(jnp.asarray, det_params)
+        self.lipnet = LipNet(self.cfg.model)
+        self.lip_params = _load_params(lipnet_checkpoint, self.cfg)
+        self._score = jax.jit(
+            lambda p, f: jax.nn.sigmoid(self.detector.apply({"params": p}, f))
+        )
+
+    def score_arrays(
+        self,
+        frames: np.ndarray,
+        audio: np.ndarray,
+        fps: float,
+        shifts: Sequence[int] = (0,),
+    ) -> np.ndarray:
+        """(T,H,W) frames + mono 16 kHz audio -> sync probs per shift."""
+        from avsync.features import build_feature_bank, gather_features
+
+        reader = LipReader.__new__(LipReader)  # reuse preprocessing
+        reader.cfg = self.cfg
+        clips = LipReader._prepare(reader, frames)
+        bank = build_feature_bank(
+            self.lipnet, self.lip_params, [clips], [audio], [fps], self.cfg
+        )
+        n = len(shifts)
+        feats = gather_features(
+            bank,
+            jnp.zeros(n, jnp.int32),
+            jnp.asarray(np.asarray(shifts, np.int32)),
+            self.cfg.audio,
+        )
+        return np.asarray(self._score(self.det_params, feats))
+
+    def score(self, video_path: str, shift_frames: int = 0) -> float:
+        from avsync.data.video import (
+            decode_video_gray,
+            get_video_fps,
+            load_audio_for_video,
+        )
+        from avsync.ops.audio import resample_host
+
+        frames = decode_video_gray(
+            video_path, max_frames=self.cfg.data.max_video_length
+        )
+        audio, sr = load_audio_for_video(video_path, self.cfg.audio.sample_rate)
+        if sr != self.cfg.audio.sample_rate:
+            audio = resample_host(audio, sr, self.cfg.audio.sample_rate)
+        fps = get_video_fps(video_path, self.cfg.detector.default_fps)
+        return float(
+            self.score_arrays(frames, audio, fps, shifts=(shift_frames,))[0]
+        )

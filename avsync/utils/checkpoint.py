@@ -9,11 +9,9 @@ in avsync/compat.py; this module is the native format.
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Any, Dict, Optional
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

@@ -22,7 +22,6 @@ TORCH_CPU_BASELINE_CLIPS_PER_SEC = 0.645
 
 def main() -> None:
     import jax
-    import jax.numpy as jnp
 
     from avsync.config import AvsyncConfig
     from avsync.parallel import make_mesh

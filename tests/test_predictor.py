@@ -1,0 +1,116 @@
+"""Serving API tests: LipReader and MisalignmentScorer."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from avsync.config import (
+    AudioConfig,
+    AvsyncConfig,
+    DataConfig,
+    DetectorConfig,
+    ModelConfig,
+)
+from avsync.predictor import LipReader, MisalignmentScorer
+
+TINY = AvsyncConfig(
+    data=DataConfig(img_height=16, img_width=32, max_video_length=8),
+    model=ModelConfig(hidden_dim=8, conv_channels=(2, 3, 4)),
+    audio=AudioConfig(max_audio_samples=8000),
+    detector=DetectorConfig(hidden_dim=16),
+)
+
+
+@pytest.fixture(scope="module")
+def checkpoints(tmp_path_factory):
+    from avsync.compat import save_detector_pth, save_lipnet_pth
+    from avsync.models import LipNet, MisalignmentDetector
+
+    root = tmp_path_factory.mktemp("serve")
+    model = LipNet(TINY.model)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 8, 16, 32, 1))
+    )["params"]
+    lip = str(root / "lipnet.pth")
+    conv_shape = (4, 2, 4)
+    save_lipnet_pth(jax.device_get(params), lip, conv_shape=conv_shape)
+
+    det_model = MisalignmentDetector(hidden_dim=16)
+    conv_dim = 4 * 2 * 4
+    feat_dim = 2 * conv_dim + 40
+    det_params = det_model.init(
+        {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, feat_dim))
+    )["params"]
+    det = str(root / "detector.pth")
+    save_detector_pth(
+        jax.device_get(det_params), det, feat_dim, 16,
+        {"sample_rate": 16000, "n_mfcc": 20, "max_shift_frames": 10},
+        conv_shape=conv_shape, n_audio_feats=40,
+    )
+    return {"lipnet": lip, "detector": det, "root": str(root)}
+
+
+class TestLipReader:
+    def test_predict_frames_and_file(self, checkpoints):
+        reader = LipReader(checkpoints["lipnet"], TINY)
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 255, (8, 16, 32), np.uint8)
+        out = reader.predict_frames(frames)
+        assert isinstance(out, str)
+
+        clip_path = os.path.join(checkpoints["root"], "clip.npy")
+        np.save(clip_path, frames)
+        assert reader.predict(clip_path) == out
+
+    def test_fullframe_input_goes_through_crop(self, checkpoints):
+        reader = LipReader(checkpoints["lipnet"], TINY)
+        rng = np.random.default_rng(1)
+        frames = rng.integers(0, 255, (8, 64, 128), np.uint8)  # native size
+        out = reader.predict_frames(frames)
+        assert isinstance(out, str)
+
+    def test_empty_video_raises(self, checkpoints, tmp_path):
+        reader = LipReader(checkpoints["lipnet"], TINY)
+        p = str(tmp_path / "empty.npy")
+        np.save(p, np.zeros((0, 0, 0), np.uint8))
+        with pytest.raises(ValueError):
+            reader.predict(p)
+
+
+class TestMisalignmentScorer:
+    def test_scores_in_unit_interval_and_shift_sensitivity(self, checkpoints):
+        scorer = MisalignmentScorer(
+            checkpoints["detector"], checkpoints["lipnet"], TINY
+        )
+        rng = np.random.default_rng(2)
+        frames = rng.integers(0, 255, (8, 16, 32), np.uint8)
+        audio = (np.sin(np.linspace(0, 200, 5000)) * 0.5).astype(np.float32)
+        probs = scorer.score_arrays(frames, audio, 25.0, shifts=(0, 5, -5))
+        assert probs.shape == (3,)
+        assert ((probs >= 0) & (probs <= 1)).all()
+        # shifted features differ -> scores differ (random heads saturate the
+        # sigmoid, so compare relatively rather than with absolute atol)
+        rel = abs(float(probs[0]) - float(probs[1])) / max(
+            float(probs[0]), float(probs[1]), 1e-30
+        )
+        assert rel > 1e-3, probs
+
+    def test_score_from_file(self, checkpoints):
+        from avsync.data.video import save_wav
+
+        scorer = MisalignmentScorer(
+            checkpoints["detector"], checkpoints["lipnet"], TINY
+        )
+        rng = np.random.default_rng(3)
+        clip = os.path.join(checkpoints["root"], "scored.npy")
+        np.save(clip, rng.integers(0, 255, (8, 16, 32), np.uint8))
+        save_wav(
+            os.path.join(checkpoints["root"], "scored.wav"),
+            (np.sin(np.linspace(0, 100, 5000)) * 0.4).astype(np.float32),
+            16000,
+        )
+        s = scorer.score(clip, shift_frames=0)
+        assert 0.0 <= s <= 1.0
