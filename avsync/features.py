@@ -47,16 +47,14 @@ def visual_stats_fn(model: LipNet):
 
 
 class FeatureBank(NamedTuple):
-    """Precomputed per-video device arrays."""
+    """Precomputed per-video device arrays. The assembled feature width is
+    visual.shape[1] + 2 * n_mfcc (13864 at reference geometry,
+    `misalignment_detection_train.py:409`)."""
 
     visual: jax.Array  # (N, 2*conv_dim)
     audio: jax.Array  # (N, max_audio_samples) zero-padded
     audio_lengths: jax.Array  # (N,)
     fps: jax.Array  # (N,)
-
-    @property
-    def feature_dim(self) -> int:
-        return self.visual.shape[1] + 2 * AudioConfig().n_mfcc  # see build
 
 
 def build_feature_bank(

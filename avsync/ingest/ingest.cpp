@@ -20,8 +20,10 @@ extern "C" {
 #include <libswscale/swscale.h>
 }
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -199,6 +201,38 @@ void* avs_decode(const char* path, int max_frames, int target_sr) {
   if (actx) avcodec_free_context(&actx);
   avformat_close_input(&fmt);
   return out;
+}
+
+void avs_release(void* h);  // defined below
+
+// Batched decode executor: demux/decode `n` files concurrently on a thread
+// pool (each libav context is thread-private; codecs also parallelize
+// internally). Returns a malloc'd array of n handles — the data-loader
+// analogue of the reference's DataLoader(num_workers=4) (`main.py:133`),
+// but in native code with zero Python in the loop.
+void** avs_decode_batch(const char** paths, int n, int max_frames,
+                        int target_sr, int n_threads) {
+  void** out = new void*[n];
+  if (n_threads <= 0) {
+    n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = 2;
+  }
+  if (n_threads > n) n_threads = n;
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+      out[i] = avs_decode(paths[i], max_frames, target_sr);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return out;
+}
+
+void avs_release_batch(void** handles, int n) {
+  for (int i = 0; i < n; ++i) avs_release(handles[i]);
+  delete[] handles;
 }
 
 const char* avs_error(void* h) {

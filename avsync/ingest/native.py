@@ -64,6 +64,15 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.avs_audio_data.argtypes = [ctypes.c_void_p]
         lib.avs_release.restype = None
         lib.avs_release.argtypes = [ctypes.c_void_p]
+        lib.avs_decode_batch.restype = ctypes.POINTER(ctypes.c_void_p)
+        lib.avs_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib.avs_release_batch.restype = None
+        lib.avs_release_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -103,6 +112,52 @@ def decode(
         return video, float(lib.avs_fps(h)), audio, int(lib.avs_sample_rate(h))
     finally:
         lib.avs_release(h)
+
+
+def decode_batch(
+    paths, max_frames: int = 0, target_sr: int = 0, n_threads: int = 0
+):
+    """Decode many files concurrently on the C++ thread pool.
+
+    Returns a list of (video (T,H,W) uint8, fps, audio f32, sample_rate)
+    tuples, order-preserving. Files that fail decode yield
+    (empty video, 0.0, empty audio, 0) rather than raising, so one corrupt
+    clip cannot kill a batch (the reference's defensive-fallback stance,
+    `dataset.py:238-241`).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native ingest library unavailable")
+    n = len(paths)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    handles = lib.avs_decode_batch(
+        arr, n, int(max_frames), int(target_sr), int(n_threads)
+    )
+    out = []
+    try:
+        for i in range(n):
+            h = handles[i]
+            if lib.avs_error(h):
+                out.append(
+                    (np.zeros((0, 0, 0), np.uint8), 0.0, np.zeros(0, np.float32), 0)
+                )
+                continue
+            T, H, W = lib.avs_n_frames(h), lib.avs_height(h), lib.avs_width(h)
+            video = (
+                np.ctypeslib.as_array(lib.avs_video_data(h), shape=(T, H, W)).copy()
+                if T > 0
+                else np.zeros((0, 0, 0), np.uint8)
+            )
+            ns = lib.avs_n_samples(h)
+            audio = (
+                np.ctypeslib.as_array(lib.avs_audio_data(h), shape=(ns,)).copy()
+                if ns > 0
+                else np.zeros(0, np.float32)
+            )
+            out.append((video, float(lib.avs_fps(h)), audio, int(lib.avs_sample_rate(h))))
+    finally:
+        lib.avs_release_batch(handles, n)
+    return out
 
 
 def decode_video_gray(path: str, max_frames: Optional[int] = None) -> np.ndarray:

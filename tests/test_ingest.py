@@ -111,3 +111,25 @@ class TestPipelineIntegration:
         out = vid.decode_video_gray(path, max_frames=6)
         assert out.shape[0] == 6
         assert out.shape[1:] == ref.shape[1:]
+
+
+class TestBatchDecode:
+    def test_batch_matches_single(self, mjpg_video):
+        path, ref = mjpg_video
+        results = native.decode_batch([path, path, path], n_threads=2)
+        assert len(results) == 3
+        single, fps, _, _ = native.decode(path)
+        for video, f, audio, sr in results:
+            np.testing.assert_array_equal(video, single)
+            assert abs(f - 25.0) < 1e-3
+
+    def test_corrupt_path_yields_empty_not_raise(self, mjpg_video):
+        path, _ = mjpg_video
+        results = native.decode_batch([path, "/nonexistent/x.mpg"])
+        assert results[0][0].shape[0] > 0
+        assert results[1][0].size == 0 and results[1][3] == 0
+
+    def test_max_frames_applied(self, mjpg_video):
+        path, _ = mjpg_video
+        (video, _, _, _), = native.decode_batch([path], max_frames=4)
+        assert video.shape[0] == 4
