@@ -30,7 +30,14 @@ def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
     """Build a ('data', 'model') mesh. shape=(-1, m) assigns all remaining
-    devices to the data axis."""
+    devices to the data axis.
+
+    Multi-slice: under the standard JAX multi-slice runtime, `jax.devices()`
+    spans slices and this same mesh construction applies — put 'data' as the
+    outer (DCN-crossing) axis and keep 'model' inside a slice so tensor
+    collectives ride ICI; gradient all-reduce then hierarchically reduces
+    over ICI before crossing DCN (XLA handles the decomposition).
+    """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     d, m = shape
