@@ -64,7 +64,6 @@ def build_feature_bank(
     audio_list: Sequence[np.ndarray],
     fps_list: Sequence[float],
     cfg: AvsyncConfig,
-    batch_size: int = 8,
 ) -> FeatureBank:
     """Precompute the bank.
 

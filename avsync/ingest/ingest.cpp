@@ -37,6 +37,13 @@ struct Decoded {
   std::vector<float> audio;  // mono f32
   int sample_rate = 0;
   char error[256] = {0};
+  // optional decode-time ROI crop + resize (normalized fractions; out_w>0
+  // enables). Done on the single gray8 plane with swscale — frames leave the
+  // ingest stage already at model geometry, so only ~1/20 of the bytes cross
+  // the host->device link.
+  double crop_y0 = 0, crop_y1 = 1, crop_x0 = 0, crop_x1 = 1;
+  int out_w = 0, out_h = 0;
+  SwsContext* crop_sws = nullptr;
 };
 
 void set_error(Decoded* d, const char* msg) {
@@ -52,20 +59,56 @@ int drain_video(AVCodecContext* ctx, SwsContext** sws, AVFrame* frame,
       av_frame_unref(frame);
       continue;  // keep draining so the decoder stays healthy
     }
+    bool cropping = out->out_w > 0;
     if (out->height == 0) {
-      out->height = frame->height;
-      out->width = frame->width;
+      out->height = cropping ? out->out_h : frame->height;
+      out->width = cropping ? out->out_w : frame->width;
     }
-    *sws = sws_getCachedContext(*sws, frame->width, frame->height,
-                                (AVPixelFormat)frame->format, out->width,
-                                out->height, AV_PIX_FMT_GRAY8, SWS_BILINEAR,
+    int fw = frame->width, fh = frame->height;
+    *sws = sws_getCachedContext(*sws, fw, fh, (AVPixelFormat)frame->format,
+                                fw, fh, AV_PIX_FMT_GRAY8, SWS_BILINEAR,
                                 nullptr, nullptr, nullptr);
     size_t off = out->video.size();
     out->video.resize(off + (size_t)out->height * out->width);
-    uint8_t* dst_data[4] = {out->video.data() + off, nullptr, nullptr, nullptr};
-    int dst_linesize[4] = {out->width, 0, 0, 0};
-    sws_scale(*sws, frame->data, frame->linesize, 0, frame->height, dst_data,
-              dst_linesize);
+    if (!cropping) {
+      uint8_t* dst_data[4] = {out->video.data() + off, nullptr, nullptr,
+                              nullptr};
+      int dst_linesize[4] = {out->width, 0, 0, 0};
+      sws_scale(*sws, frame->data, frame->linesize, 0, fh, dst_data,
+                dst_linesize);
+    } else {
+      // Crop directly in the decoded pixel format via per-plane pointer
+      // offsets (chroma planes shifted by the format's subsampling), then
+      // one sws pass: cropped YUV -> gray8 at target geometry. The full
+      // frame is never materialized in gray.
+      int y0 = (int)(fh * out->crop_y0), y1 = (int)(fh * out->crop_y1);
+      int x0 = (int)(fw * out->crop_x0), x1 = (int)(fw * out->crop_x1);
+      if (y1 <= y0) y1 = y0 + 1;
+      if (x1 <= x0) x1 = x0 + 1;
+      // even-align the origin so chroma offsets stay exact
+      y0 &= ~1;
+      x0 &= ~1;
+      int cw = x1 - x0, ch = y1 - y0;
+      const AVPixFmtDescriptor* desc =
+          av_pix_fmt_desc_get((AVPixelFormat)frame->format);
+      const uint8_t* src_data[4] = {nullptr, nullptr, nullptr, nullptr};
+      int src_lin[4] = {0, 0, 0, 0};
+      for (int p = 0; p < 4 && frame->data[p]; ++p) {
+        int hs = (p == 1 || p == 2) ? desc->log2_chroma_w : 0;
+        int vs = (p == 1 || p == 2) ? desc->log2_chroma_h : 0;
+        src_data[p] = frame->data[p] +
+                      (size_t)(y0 >> vs) * frame->linesize[p] + (x0 >> hs);
+        src_lin[p] = frame->linesize[p];
+      }
+      out->crop_sws = sws_getCachedContext(
+          out->crop_sws, cw, ch, (AVPixelFormat)frame->format, out->out_w,
+          out->out_h, AV_PIX_FMT_GRAY8, SWS_BILINEAR, nullptr, nullptr,
+          nullptr);
+      uint8_t* dst_data[4] = {out->video.data() + off, nullptr, nullptr,
+                              nullptr};
+      int dst_lin[4] = {out->out_w, 0, 0, 0};
+      sws_scale(out->crop_sws, src_data, src_lin, 0, ch, dst_data, dst_lin);
+    }
     out->n_frames++;
     av_frame_unref(frame);
   }
@@ -97,21 +140,21 @@ int drain_audio(AVCodecContext* ctx, SwrContext* swr, AVFrame* frame,
 
 extern "C" {
 
-// Decode `path`. max_frames <= 0 means all frames. target_sr <= 0 keeps the
-// stream's native sample rate. Returns an opaque handle (never null); check
-// avs_error() for failure.
-void* avs_decode(const char* path, int max_frames, int target_sr) {
+namespace {
+
+// Core decode into a pre-configured Decoded (crop fields may be set).
+void run_decode(Decoded* out, const char* path, int max_frames,
+                int target_sr) {
   av_log_set_level(AV_LOG_ERROR);  // silence swscaler format chatter
-  auto* out = new Decoded();
   AVFormatContext* fmt = nullptr;
   if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) {
     set_error(out, "cannot open input");
-    return out;
+    return;
   }
   if (avformat_find_stream_info(fmt, nullptr) < 0) {
     set_error(out, "no stream info");
     avformat_close_input(&fmt);
-    return out;
+    return;
   }
 
   int vidx = av_find_best_stream(fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
@@ -196,10 +239,40 @@ void* avs_decode(const char* path, int max_frames, int target_sr) {
   }
 
   if (sws) sws_freeContext(sws);
+  if (out->crop_sws) {
+    sws_freeContext(out->crop_sws);
+    out->crop_sws = nullptr;
+  }
   if (swr) swr_free(&swr);
   if (vctx) avcodec_free_context(&vctx);
   if (actx) avcodec_free_context(&actx);
   avformat_close_input(&fmt);
+}
+
+}  // namespace
+
+// Decode `path`. max_frames <= 0 means all frames. target_sr <= 0 keeps the
+// stream's native sample rate. Returns an opaque handle (never null); check
+// avs_error() for failure.
+void* avs_decode(const char* path, int max_frames, int target_sr) {
+  auto* out = new Decoded();
+  run_decode(out, path, max_frames, target_sr);
+  return out;
+}
+
+// Decode with decode-time ROI crop (normalized fractions) + resize to
+// (out_w, out_h) — frames arrive at model geometry, minimizing transfer.
+void* avs_decode_roi(const char* path, int max_frames, int target_sr,
+                     double y0, double y1, double x0, double x1, int out_w,
+                     int out_h) {
+  auto* out = new Decoded();
+  out->crop_y0 = y0;
+  out->crop_y1 = y1;
+  out->crop_x0 = x0;
+  out->crop_x1 = x1;
+  out->out_w = out_w;
+  out->out_h = out_h;
+  run_decode(out, path, max_frames, target_sr);
   return out;
 }
 
@@ -222,6 +295,28 @@ void** avs_decode_batch(const char** paths, int n, int max_frames,
   auto worker = [&]() {
     for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
       out[i] = avs_decode(paths[i], max_frames, target_sr);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return out;
+}
+
+void** avs_decode_batch_roi(const char** paths, int n, int max_frames,
+                            int target_sr, double y0, double y1, double x0,
+                            double x1, int out_w, int out_h, int n_threads) {
+  void** out = new void*[n];
+  if (n_threads <= 0) {
+    n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = 2;
+  }
+  if (n_threads > n) n_threads = n;
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+      out[i] = avs_decode_roi(paths[i], max_frames, target_sr, y0, y1, x0,
+                              x1, out_w, out_h);
     }
   };
   std::vector<std::thread> pool;

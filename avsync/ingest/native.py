@@ -73,6 +73,12 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.avs_release_batch.argtypes = [
             ctypes.POINTER(ctypes.c_void_p), ctypes.c_int,
         ]
+        lib.avs_decode_batch_roi.restype = ctypes.POINTER(ctypes.c_void_p)
+        lib.avs_decode_batch_roi.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -155,6 +161,56 @@ def decode_batch(
                 else np.zeros(0, np.float32)
             )
             out.append((video, float(lib.avs_fps(h)), audio, int(lib.avs_sample_rate(h))))
+    finally:
+        lib.avs_release_batch(handles, n)
+    return out
+
+
+def decode_batch_roi(
+    paths,
+    crop: Tuple[float, float, float, float],
+    out_hw: Tuple[int, int],
+    max_frames: int = 0,
+    target_sr: int = 0,
+    n_threads: int = 0,
+):
+    """Batched decode with decode-time ROI crop + resize: frames arrive at
+    model geometry (out_hw), cutting host->device transfer ~20x. crop is
+    (y0, y1, x0, x1) normalized. Same return shape as `decode_batch`."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native ingest library unavailable")
+    n = len(paths)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    y0, y1, x0, x1 = (float(c) for c in crop)
+    handles = lib.avs_decode_batch_roi(
+        arr, n, int(max_frames), int(target_sr), y0, y1, x0, x1,
+        int(out_hw[1]), int(out_hw[0]), int(n_threads),
+    )
+    out = []
+    try:
+        for i in range(n):
+            h = handles[i]
+            if lib.avs_error(h):
+                out.append(
+                    (np.zeros((0, 0, 0), np.uint8), 0.0, np.zeros(0, np.float32), 0)
+                )
+                continue
+            T, H, W = lib.avs_n_frames(h), lib.avs_height(h), lib.avs_width(h)
+            video = (
+                np.ctypeslib.as_array(lib.avs_video_data(h), shape=(T, H, W)).copy()
+                if T > 0
+                else np.zeros((0, 0, 0), np.uint8)
+            )
+            ns = lib.avs_n_samples(h)
+            audio = (
+                np.ctypeslib.as_array(lib.avs_audio_data(h), shape=(ns,)).copy()
+                if ns > 0
+                else np.zeros(0, np.float32)
+            )
+            out.append(
+                (video, float(lib.avs_fps(h)), audio, int(lib.avs_sample_rate(h)))
+            )
     finally:
         lib.avs_release_batch(handles, n)
     return out

@@ -30,6 +30,21 @@ def _load_params(checkpoint: str, cfg: AvsyncConfig):
     return _load_lipnet_params(checkpoint, None, cfg)
 
 
+def prepare_clip(frames: np.ndarray, cfg: AvsyncConfig) -> jax.Array:
+    """(T, H, W) uint8/float -> (1, max_len, h, w, 1) model input: device
+    crop/resize for native-size frames, plain /255 for preprocessed ones."""
+    d = cfg.data
+    x = jnp.asarray(frames, jnp.float32)[None]
+    if frames.shape[1:] == (d.img_height, d.img_width):
+        clips = (x * (1.0 / 255.0))[..., None]
+    else:
+        clips = imglib.preprocess_clips(
+            x, (d.img_height, d.img_width), d.mouth_crop
+        )
+    clips, _ = imglib.pad_or_truncate_time(clips, d.max_video_length)
+    return clips
+
+
 class LipReader:
     """Greedy-CTC lipreading from a trained LipNet checkpoint."""
 
@@ -46,21 +61,8 @@ class LipReader:
             else textlib.decode_batch
         )
 
-    def _prepare(self, frames: np.ndarray) -> jax.Array:
-        """(T, H, W) uint8/float -> (1, max_len, h, w, 1) model input."""
-        d = self.cfg.data
-        x = jnp.asarray(frames, jnp.float32)[None]
-        if frames.shape[1:] == (d.img_height, d.img_width):
-            clips = (x * (1.0 / 255.0))[..., None]
-        else:
-            clips = imglib.preprocess_clips(
-                x, (d.img_height, d.img_width), d.mouth_crop
-            )
-        clips, _ = imglib.pad_or_truncate_time(clips, d.max_video_length)
-        return clips
-
     def predict_frames(self, frames: np.ndarray) -> str:
-        log_probs = self._fwd(self.params, self._prepare(frames))
+        log_probs = self._fwd(self.params, prepare_clip(frames, self.cfg))
         return self._decode(log_probs)[0]
 
     def predict(self, video_path: str) -> str:
@@ -114,9 +116,7 @@ class MisalignmentScorer:
         """(T,H,W) frames + mono 16 kHz audio -> sync probs per shift."""
         from avsync.features import build_feature_bank, gather_features
 
-        reader = LipReader.__new__(LipReader)  # reuse preprocessing
-        reader.cfg = self.cfg
-        clips = LipReader._prepare(reader, frames)
+        clips = prepare_clip(frames, self.cfg)
         bank = build_feature_bank(
             self.lipnet, self.lip_params, [clips], [audio], [fps], self.cfg
         )

@@ -133,3 +133,29 @@ class TestBatchDecode:
         path, _ = mjpg_video
         (video, _, _, _), = native.decode_batch([path], max_frames=4)
         assert video.shape[0] == 4
+
+
+class TestRoiDecode:
+    def test_roi_batch_geometry_and_content(self, mjpg_video):
+        path, ref = mjpg_video  # 12 frames, 48x64
+        (video, fps, _, _), = native.decode_batch_roi(
+            [path], crop=(0.5, 1.0, 0.25, 0.75), out_hw=(20, 30)
+        )
+        assert video.shape == (12, 20, 30)
+        assert abs(fps - 25.0) < 1e-3
+        # content: ROI decode of the lower-middle region should correlate
+        # strongly with a host-side crop+resize of the full decode
+        import cv2
+
+        full, _, _, _ = native.decode(path)
+        manual = cv2.resize(full[0, 24:48, 16:48], (30, 20))
+        a = video[0].astype(np.float32)
+        b = manual.astype(np.float32)
+        corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+        assert corr > 0.95, corr
+
+    def test_roi_single_threaded_deterministic(self, mjpg_video):
+        path, _ = mjpg_video
+        r1 = native.decode_batch_roi([path], (0.4, 0.9, 0.1, 0.9), (16, 24))
+        r2 = native.decode_batch_roi([path], (0.4, 0.9, 0.1, 0.9), (16, 24), n_threads=1)
+        np.testing.assert_array_equal(r1[0][0], r2[0][0])
