@@ -328,12 +328,6 @@ def cmd_test(args) -> int:
     return 0
 
 
-def len_devices() -> int:
-    import jax
-
-    return len(jax.devices())
-
-
 def cmd_infer(args) -> int:
     import jax
     import jax.numpy as jnp
