@@ -534,6 +534,79 @@ def _plot_roc(labels, probs, out_path):
 
 
 # ---------------------------------------------------------------------------
+# misalign-eval: sliding-shift AUROC sweep (BASELINE scenario #3)
+# ---------------------------------------------------------------------------
+
+def cmd_misalign_eval(args) -> int:
+    """Score every clip aligned vs +/-s for each shift magnitude s and report
+    AUROC per magnitude + overall — the 'sliding +/-5..20-frame shifts'
+    evaluation scenario from BASELINE.json."""
+    import jax
+    import jax.numpy as jnp
+
+    from avsync.compat import load_detector_pth
+    from avsync.data import GridDataSource, discover_speakers
+    from avsync.eval import auroc
+    from avsync.features import gather_features
+    from avsync.models import LipNet, MisalignmentDetector
+
+    cfg = _config_from_args(args)
+    det_params, meta = load_detector_pth(
+        args.detector_checkpoint, conv_shape=_conv_shape(cfg),
+        n_audio_feats=2 * cfg.audio.n_mfcc,
+    )
+    det_model = MisalignmentDetector(
+        hidden_dim=int(meta.get("hidden_dim", cfg.detector.hidden_dim))
+    )
+    det_params = jax.tree.map(jnp.asarray, det_params)
+    lip_model = LipNet(cfg.model)
+    lip_params = _load_lipnet_params(args.checkpoint, lip_model, cfg)
+
+    speakers = args.speakers or discover_speakers(cfg.data.data_path)
+    src = GridDataSource(cfg.data.data_path, speakers)
+    paths = [s.video_path for s in src.samples]
+    if args.max_samples:
+        paths = paths[: args.max_samples]
+    bank = _build_bank(cfg, src, lip_model, lip_params, paths)
+    n = len(paths)
+
+    score = jax.jit(
+        lambda f: jax.nn.sigmoid(det_model.apply({"params": det_params}, f))
+    )
+    idx = jnp.arange(n, dtype=jnp.int32)
+    aligned = np.asarray(
+        score(gather_features(bank, idx, jnp.zeros(n, jnp.int32), cfg.audio))
+    )
+    results = {}
+    all_scores, all_labels = [aligned], [np.ones(n)]
+    rng = np.random.default_rng(args.seed)
+    for s in range(args.min_shift, args.max_shift + 1):
+        signs = rng.choice([-1, 1], size=n).astype(np.int32)
+        shifted = np.asarray(
+            score(gather_features(bank, idx, jnp.asarray(signs * s), cfg.audio))
+        )
+        labels = np.concatenate([np.ones(n), np.zeros(n)])
+        scores = np.concatenate([aligned, shifted])
+        results[str(s)] = float(
+            auroc(jnp.asarray(labels, jnp.float32), jnp.asarray(scores))
+        )
+        all_scores.append(shifted)
+        all_labels.append(np.zeros(n))
+    overall = float(
+        auroc(
+            jnp.asarray(np.concatenate(all_labels), jnp.float32),
+            jnp.asarray(np.concatenate(all_scores)),
+        )
+    )
+    out = {"auroc_by_shift": results, "overall_auroc": overall, "num_clips": n}
+    print(json.dumps(out, indent=2))
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(out, f, indent=2)
+    return 0
+
+
+# ---------------------------------------------------------------------------
 # misalign-demo
 # ---------------------------------------------------------------------------
 
@@ -680,6 +753,18 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--verbose", action="store_true")
     m.add_argument("--save_every", type=int, default=5)
     m.set_defaults(fn=cmd_misalign_train)
+
+    e = sub.add_parser("misalign-eval",
+                       help="sliding-shift AUROC sweep over a corpus")
+    common(e)
+    e.add_argument("--checkpoint", type=str, default="lipnet_final.pth")
+    e.add_argument("--detector_checkpoint", type=str,
+                   default="misalignment_detector.pth")
+    e.add_argument("--min_shift", type=int, default=5)
+    e.add_argument("--max_shift", type=int, default=20)
+    e.add_argument("--max_samples", type=int, default=None)
+    e.add_argument("--output", type=str, default=None)
+    e.set_defaults(fn=cmd_misalign_eval)
 
     d = sub.add_parser("misalign-demo", help="export annotated demo videos")
     common(d)

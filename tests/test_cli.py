@@ -152,3 +152,31 @@ class TestMisalignFlow:
         assert any(f.startswith("aligned_demo") for f in produced)
         assert any(f.startswith("misaligned_demo") for f in produced)
         assert any(f.endswith(".wav") for f in produced)
+
+
+class TestMisalignEval:
+    def test_shift_sweep_auroc(self, workdir, trained_pth, capsys):
+        """misalign-eval: AUROC per shift magnitude on the synthetic corpus
+        (the detector trained in TestMisalignFlow should separate shifts)."""
+        det = os.path.join(workdir["root"], "detector.pth")
+        if not os.path.exists(det):
+            rc = run_cli([
+                "misalign-train", "--data_path", workdir["corpus"],
+                "--config", workdir["cfg_path"],
+                "--checkpoint", trained_pth, "--detector_checkpoint", det,
+                "--epochs", "3", "--max_shift_frames", "6",
+                "--log_dir", os.path.join(workdir["root"], "logs2"),
+            ])
+            assert rc == 0
+        out_json = os.path.join(workdir["root"], "sweep.json")
+        rc = run_cli([
+            "misalign-eval", "--data_path", workdir["corpus"],
+            "--config", workdir["cfg_path"],
+            "--checkpoint", trained_pth, "--detector_checkpoint", det,
+            "--min_shift", "2", "--max_shift", "5", "--output", out_json,
+        ])
+        assert rc == 0
+        sweep = json.load(open(out_json))
+        assert set(sweep["auroc_by_shift"]) == {"2", "3", "4", "5"}
+        assert sweep["num_clips"] == 12
+        assert 0.0 <= sweep["overall_auroc"] <= 1.0
