@@ -276,7 +276,8 @@ def cmd_train(args) -> int:
     return 0
 
 
-def _evaluate(trainer, state, batcher, source, out_json: str, num_print: int = 5):
+def _evaluate(trainer, state, batcher, source, out_json: str, num_print: int = 5,
+              beam_width: int = 0):
     """Greedy-decode the split, print samples, dump CER/WER/accuracy JSON
     (`utils.py:38-86` + `train.py:916-942`)."""
     from avsync import text as textlib
@@ -289,7 +290,9 @@ def _evaluate(trainer, state, batcher, source, out_json: str, num_print: int = 5
         _, log_probs = trainer.compiled["eval"](
             state.params, trainer._device_batch(batch)
         )
-        decoded = textlib.decode_batch(log_probs[: batch["valid"]])
+        decoded = textlib.decode_batch(
+            log_probs[: batch["valid"]], beam_width=beam_width
+        )
         for d in decoded:
             preds.append(d)
             targets.append(source.samples[idx].text)
@@ -324,7 +327,10 @@ def cmd_test(args) -> int:
     params = _load_lipnet_params(args.checkpoint, trainer.model, cfg)
     state = TrainState(params, None, 0)
     batcher = LipNetBatcher(src, cfg, mesh=mesh)
-    _evaluate(trainer, state, batcher, src, args.output or "test_results.json")
+    _evaluate(
+        trainer, state, batcher, src, args.output or "test_results.json",
+        beam_width=args.beam,
+    )
     return 0
 
 
@@ -354,7 +360,7 @@ def cmd_infer(args) -> int:
         clips = imglib.preprocess_clips(x, (d.img_height, d.img_width), d.mouth_crop)
     clips, _ = imglib.pad_or_truncate_time(clips, d.max_video_length)
     log_probs = jax.jit(lambda p, v: model.apply({"params": p}, v))(params, clips)
-    pred = textlib.decode_batch(log_probs)[0]
+    pred = textlib.decode_batch(log_probs, beam_width=args.beam)[0]
     print(f"Predicted: {pred}")
 
     base = os.path.splitext(args.video)[0]
@@ -724,6 +730,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help=".pth file or Orbax checkpoint dir")
     te.add_argument("--batch_size", type=int, default=None)
     te.add_argument("--output", type=str, default=None)
+    te.add_argument("--beam", type=int, default=0,
+                    help="CTC beam width (0 = greedy, the reference decode)")
     te.set_defaults(fn=cmd_test)
 
     i = sub.add_parser("infer", help="single-video inference")
@@ -732,6 +740,7 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--data_path", type=str, default="./data")
     i.add_argument("--seed", type=int, default=42)
     i.add_argument("--config", type=str, default=None)
+    i.add_argument("--beam", type=int, default=0)
     i.set_defaults(fn=cmd_infer)
 
     m = sub.add_parser("misalign-train", help="train the misalignment detector")

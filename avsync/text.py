@@ -138,8 +138,22 @@ def ctc_greedy_decode(
 ctc_greedy_decode_jit = jax.jit(ctc_greedy_decode, static_argnames=("blank_id",))
 
 
-def decode_batch(log_probs, blank_id: int = BLANK_ID) -> List[str]:
-    """Decode a batch of (B, T, V) log-probs to python strings (host side)."""
+def decode_batch(
+    log_probs, blank_id: int = BLANK_ID, beam_width: int = 0
+) -> List[str]:
+    """Decode a batch of (B, T, V) log-probs to python strings (host side).
+
+    beam_width=0 (default) is the reference's greedy decode; beam_width>1
+    runs prefix beam search (avsync.ops.beam) over the character alphabet.
+    """
+    if beam_width and beam_width > 1:
+        from avsync.ops.beam import ctc_beam_search_batch
+
+        prefixes = ctc_beam_search_batch(
+            np.asarray(log_probs), beam_width, blank_id,
+            valid_ids=range(1, len(CHARACTERS) + 1),
+        )
+        return [indices_to_text(p) for p in prefixes]
     decoded, lengths = ctc_greedy_decode_jit(jnp.asarray(log_probs), blank_id)
     decoded = np.asarray(decoded)
     lengths = np.asarray(lengths)
