@@ -175,3 +175,35 @@ class TestBatcherEndToEnd:
         assert batch["video"].shape == (2, 4, 12, 20, 1)
         v = np.asarray(batch["video"])
         assert 0.0 <= v.min() and v.max() <= 1.0
+
+
+class TestExcludeAndPrefetch:
+    def test_exclude_list_skips_clips(self, tmp_path):
+        """`DataConfig.exclude`-style basename filtering (`train.py:650-653`)."""
+        root = str(tmp_path / "grid")
+        synthetic.write_corpus(
+            root, n_speakers=1, clips_per_speaker=3,
+            n_frames=4, height=8, width=12, seed=6, with_audio=False,
+        )
+        full = GridDataSource(root)
+        assert len(full) == 3
+        filtered = GridDataSource(root, exclude=["clip01"])
+        assert len(filtered) == 2
+        assert all("clip01" not in s.video_path for s in filtered.samples)
+
+    def test_prefetch_propagates_worker_errors(self):
+        from avsync.data.pipeline import prefetch
+
+        def gen():
+            yield 1
+            raise RuntimeError("decode exploded")
+
+        it = prefetch(gen(), size=2)
+        assert next(it) == 1
+        with pytest.raises(RuntimeError, match="decode exploded"):
+            list(it)
+
+    def test_prefetch_preserves_order(self):
+        from avsync.data.pipeline import prefetch
+
+        assert list(prefetch(iter(range(20)), size=3)) == list(range(20))
