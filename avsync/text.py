@@ -194,9 +194,18 @@ def tf_indices_to_text(indices: Sequence[int]) -> str:
     return "".join(TF_IDX_TO_CHAR.get(int(i), "") for i in indices)
 
 
-def tf_decode_batch(log_probs) -> List[str]:
-    """Greedy ctc_decode with the Keras blank-last convention
-    (`train.py:582-584,874-876`)."""
+def tf_decode_batch(log_probs, beam_width: int = 0) -> List[str]:
+    """ctc_decode with the Keras blank-last convention
+    (`train.py:582-584,874-876`); beam_width>1 opts into prefix beam search
+    (the reference uses greedy=True only)."""
+    if beam_width and beam_width > 1:
+        from avsync.ops.beam import ctc_beam_search_batch
+
+        prefixes = ctc_beam_search_batch(
+            np.asarray(log_probs), beam_width, TF_BLANK_ID,
+            valid_ids=range(1, TF_VOCAB_SIZE),
+        )
+        return [tf_indices_to_text(p) for p in prefixes]
     decoded, lengths = ctc_greedy_decode_jit(
         jnp.asarray(log_probs), TF_BLANK_ID
     )

@@ -97,3 +97,17 @@ class TestBatchAndTextIntegration:
         for t, s in enumerate([2, 2, 0, 5, 0, 9]):
             peaked[0, t, s] = 0.0
         assert text.decode_batch(peaked) == text.decode_batch(peaked, beam_width=4)
+
+
+class TestTfBeam:
+    def test_tf_decode_beam_blank_last(self):
+        rng = np.random.default_rng(11)
+        lp = rng.normal(size=(1, 8, 32)).astype(np.float32)
+        lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+        out = text.tf_decode_batch(lp, beam_width=8)
+        assert len(out) == 1 and isinstance(out[0], str)
+        peaked = np.full((1, 5, 32), -20.0, np.float32)
+        for t, s in enumerate([1, 31, 2, 31, 3]):  # 'a' blank 'b' blank 'c'
+            peaked[0, t, s] = 0.0
+        assert text.tf_decode_batch(peaked, beam_width=4) == ["abc"]
+        assert text.tf_decode_batch(peaked) == ["abc"]
