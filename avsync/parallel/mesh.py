@@ -23,6 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SLICE_AXIS = "slice"
 
 
 def make_mesh(
@@ -49,12 +50,38 @@ def make_mesh(
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_hierarchical_mesh(
+    shape: Tuple[int, int, int],
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """2-level ('slice', 'data', 'model') mesh for multi-slice topologies.
+
+    'slice' is the outer, DCN-crossing axis; 'data' and 'model' stay inside
+    a slice so their collectives ride ICI. The batch shards over
+    ('slice', 'data') jointly (see `batch_sharding`), and XLA decomposes the
+    gradient all-reduce hierarchically: reduce-scatter/all-gather over ICI
+    within each slice, then the small cross-slice reduce over DCN. On real
+    multi-slice hardware `jax.devices()` spans slices in slice-major order,
+    which is exactly the reshape below.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    s, d, m = shape
+    assert s * d * m == len(devices), (
+        f"mesh {s}x{d}x{m} != {len(devices)} devices"
+    )
+    arr = np.asarray(devices).reshape(s, d, m)
+    return Mesh(arr, (SLICE_AXIS, DATA_AXIS, MODEL_AXIS))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading axis sharded over 'data'."""
+    """Leading axis sharded over 'data' (jointly with 'slice' when the mesh
+    is hierarchical)."""
+    if SLICE_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P((SLICE_AXIS, DATA_AXIS)))
     return NamedSharding(mesh, P(DATA_AXIS))
 
 

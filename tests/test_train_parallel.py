@@ -114,6 +114,45 @@ class TestTrainStep:
         for shape, v in losses.items():
             assert v == pytest.approx(base, rel=1e-4), (shape, losses)
 
+    def test_hierarchical_slice_mesh_consistent(self):
+        """2-level ('slice','data','model') mesh — the multi-slice DCN
+        stand-in — must reproduce the flat (8,1) loss exactly: XLA decomposes
+        the gradient all-reduce hierarchically but computes the same sums."""
+        from avsync.parallel.mesh import batch_sharding, make_hierarchical_mesh
+
+        cfg = tiny_config()
+        rng = np.random.default_rng(3)
+        batch = synth_batch(rng)
+
+        flat = LipNetTrainer(
+            cfg, mesh=make_mesh((8, 1)), log=Logger(None, console=False)
+        )
+        flat.rng = jax.random.PRNGKey(7)
+        fstate = flat.init_state(batch)
+        _, fm = flat.compiled["train"](
+            fstate, flat._device_batch(batch), flat.rng,
+            np.float32(flat.current_lr),
+        )
+
+        losses = {}
+        for shape in [(2, 4, 1), (2, 2, 2)]:
+            hmesh = make_hierarchical_mesh(shape)
+            assert hmesh.axis_names == ("slice", "data", "model")
+            spec = batch_sharding(hmesh).spec
+            assert spec == P(("slice", "data"))
+            ht = LipNetTrainer(cfg, mesh=hmesh, log=Logger(None, console=False))
+            ht.rng = jax.random.PRNGKey(7)
+            hstate = ht.init_state(batch)
+            _, hm = ht.compiled["train"](
+                hstate, ht._device_batch(batch), ht.rng,
+                np.float32(ht.current_lr),
+            )
+            losses[shape] = float(hm["loss"])
+        for shape, v in losses.items():
+            assert v == pytest.approx(float(fm["loss"]), rel=1e-4), (
+                shape, losses, float(fm["loss"]),
+            )
+
     def test_eval_step(self):
         cfg = tiny_config()
         trainer = LipNetTrainer(cfg, mesh=make_mesh((8, 1)), log=Logger(None, console=False))
