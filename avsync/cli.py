@@ -57,6 +57,11 @@ def _load_lipnet_params(checkpoint: str, model, cfg: Optional[AvsyncConfig] = No
     import jax.numpy as jnp
 
     if checkpoint.endswith(".pth"):
+        if cfg is not None and cfg.model.family == "tf":
+            raise ValueError(
+                "reference .pth checkpoints hold the PyTorch-family LipNet; "
+                "family='tf' models load from avsync Orbax checkpoint dirs"
+            )
         from avsync.compat import DEFAULT_CONV_SHAPE, load_lipnet_pth
 
         shape = _conv_shape(cfg) if cfg is not None else DEFAULT_CONV_SHAPE
@@ -106,15 +111,20 @@ def _config_from_args(args) -> AvsyncConfig:
         v = getattr(args, name, None)
         return fallback if v is None else v
 
+    family = getattr(args, "model_family", None)
     if getattr(args, "config", None):
         with open(args.config) as f:
             base = AvsyncConfig.from_json(f.read())
         return dataclasses.replace(
             base,
+            model=dataclasses.replace(
+                base.model, family=_arg("model_family", base.model.family)
+            ),
             data=dataclasses.replace(
                 base.data,
                 data_path=args.data_path,
                 batch_size=_arg("batch_size", base.data.batch_size),
+                roi_mode=_arg("roi_mode", base.data.roi_mode),
             ),
             detector=dataclasses.replace(
                 base.detector,
@@ -142,12 +152,26 @@ def _config_from_args(args) -> AvsyncConfig:
                 quick_test=getattr(args, "quick_test", base.train.quick_test),
             ),
         )
+    # Without --config, --model_family tf also switches the data geometry to
+    # the TF stack's convention: 140x46 mouth crops + per-clip
+    # standardization (`train.py:88-89,266-273`).
+    tf_family = family == "tf"
     return AvsyncConfig(
         data=DataConfig(
             data_path=args.data_path,
             batch_size=_arg("batch_size", 8),
+            img_width=140 if tf_family else 100,
+            img_height=46 if tf_family else 50,
+            standardize_clips=tf_family,
+            roi_mode=_arg("roi_mode", "heuristic"),
         ),
-        model=ModelConfig(hidden_dim=getattr(args, "model_hidden_dim", 256)),
+        model=ModelConfig(
+            family=family or "pytorch",
+            hidden_dim=getattr(args, "model_hidden_dim", 256),
+            # reference conv widths per family (`model.py:16-20` vs
+            # `train.py:505-521`)
+            conv_channels=(128, 256, 64) if tf_family else (32, 64, 96),
+        ),
         audio=AudioConfig(
             sample_rate=_arg("sample_rate", 16000),
             n_mfcc=_arg("n_mfcc", 20),
@@ -250,9 +274,36 @@ def cmd_train(args) -> int:
 
         lr_schedule = keras_lr_schedule
 
+    resume_state = None
+    if args.resume:
+        from avsync.train.lipnet_trainer import TrainState
+        from avsync.utils.checkpoint import CheckpointManager
+
+        first = next(iter(batchers["train"].epoch(shuffle=False)))
+        template = jax.device_get(trainer.init_state(first))
+        ckpt = CheckpointManager(args.resume)
+        restored, _meta = ckpt.restore(template=template)
+        ckpt.close()
+        resume_state = trainer.shard_state(
+            TrainState(restored.params, restored.opt_state, restored.step)
+        )
+        print(
+            f"Resumed from {args.resume} at step "
+            f"{int(np.asarray(restored.step))}"
+        )
+
+    # Fresh shuffle order per epoch (reference DataLoader(shuffle=True)
+    # semantics) — with drop_last batching a fixed seed would also exclude
+    # the same tail samples every epoch.
+    import itertools
+
+    epoch_seq = itertools.count()
     state = trainer.train(
-        lambda: batchers["train"].epoch(shuffle=True, seed=cfg.train.seed),
+        lambda: batchers["train"].epoch(
+            shuffle=True, seed=cfg.train.seed + next(epoch_seq)
+        ),
         lambda: batchers["val"].epoch(shuffle=False),
+        state=resume_state,
         checkpoint_dir=cfg.train.checkpoint_dir,
         lr_schedule=lr_schedule,
         early_stopping_patience=args.early_stopping,
@@ -283,6 +334,13 @@ def _evaluate(trainer, state, batcher, source, out_json: str, num_print: int = 5
     from avsync import text as textlib
     from avsync.eval import evaluate_transcripts
 
+    # The TF family emits 32-way blank-last log-probs (blank=31); its decode
+    # differs from the PyTorch stack's blank=0/39-way vocabulary.
+    decode = (
+        textlib.tf_decode_batch
+        if trainer.config.model.family == "tf"
+        else textlib.decode_batch
+    )
     preds: List[str] = []
     targets: List[str] = []
     idx = 0
@@ -290,7 +348,7 @@ def _evaluate(trainer, state, batcher, source, out_json: str, num_print: int = 5
         _, log_probs = trainer.compiled["eval"](
             state.params, trainer._device_batch(batch)
         )
-        decoded = textlib.decode_batch(
+        decoded = decode(
             log_probs[: batch["valid"]], beam_width=beam_width
         )
         for d in decoded:
@@ -341,11 +399,16 @@ def cmd_infer(args) -> int:
     from avsync import text as textlib
     from avsync.data.video import decode_video_gray
     from avsync.eval import calculate_cer, calculate_wer
-    from avsync.models import LipNet
+    from avsync.models import make_lipnet
     from avsync.ops import image as imglib
 
     cfg = _config_from_args(args)
-    model = LipNet(cfg.model)
+    model = make_lipnet(cfg.model)
+    decode = (
+        textlib.tf_decode_batch
+        if cfg.model.family == "tf"
+        else textlib.decode_batch
+    )
     params = _load_lipnet_params(args.checkpoint, model, cfg)
 
     frames = decode_video_gray(args.video, max_frames=cfg.data.max_video_length)
@@ -360,7 +423,7 @@ def cmd_infer(args) -> int:
         clips = imglib.preprocess_clips(x, (d.img_height, d.img_width), d.mouth_crop)
     clips, _ = imglib.pad_or_truncate_time(clips, d.max_video_length)
     log_probs = jax.jit(lambda p, v: model.apply({"params": p}, v))(params, clips)
-    pred = textlib.decode_batch(log_probs, beam_width=args.beam)[0]
+    pred = decode(log_probs, beam_width=args.beam)[0]
     print(f"Predicted: {pred}")
 
     base = os.path.splitext(args.video)[0]
@@ -660,7 +723,11 @@ def cmd_misalign_demo(args) -> int:
         lambda p, f: jax.nn.sigmoid(det_model.apply({"params": p}, f))
     )
     for speaker in speakers:
-        vids = [s.video_path for s in src.samples if f"/{speaker}/" in s.video_path]
+        # All three GRID layouts root a speaker's files under
+        # <data_path>/<speaker>/ — match on that prefix (a bare substring
+        # check misses flat/videos-in-root layouts).
+        prefix = os.path.join(cfg.data.data_path, speaker) + os.sep
+        vids = [s.video_path for s in src.samples if s.video_path.startswith(prefix)]
         if not vids:
             continue
         try:
@@ -706,6 +773,15 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--seed", type=int, default=42)
         sp.add_argument("--config", type=str, default=None,
                         help="AvsyncConfig JSON file (geometry/model/mesh)")
+        sp.add_argument("--model_family", choices=["pytorch", "tf"],
+                        default=None,
+                        help="model stack: pytorch (Conv3D+BiGRU, default) "
+                             "or tf (Conv3D+BiLSTM, 140x46 standardized)")
+        sp.add_argument("--roi_mode",
+                        choices=["heuristic", "detector", "variance", "model"],
+                        default=None,
+                        help="mouth ROI: fixed fractions / host cascade / "
+                             "on-device variance / learned localizer")
 
     t = sub.add_parser("train", help="LipNet CTC training")
     common(t)
@@ -722,6 +798,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="'keras' = flat->halving->exp decay (train.py:611-618)")
     t.add_argument("--early_stopping", type=int, default=None,
                    help="patience in epochs; restores best weights")
+    t.add_argument("--resume", type=str, default=None,
+                   help="Orbax checkpoint dir to resume training from "
+                        "(restores params+optimizer+step)")
     t.set_defaults(fn=cmd_train)
 
     te = sub.add_parser("test", help="evaluate CER/WER on the test split")
@@ -740,6 +819,7 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--data_path", type=str, default="./data")
     i.add_argument("--seed", type=int, default=42)
     i.add_argument("--config", type=str, default=None)
+    i.add_argument("--model_family", choices=["pytorch", "tf"], default=None)
     i.add_argument("--beam", type=int, default=0)
     i.set_defaults(fn=cmd_infer)
 

@@ -59,6 +59,10 @@ class ModelConfig:
     encoder with blank=0 CTC (`model.py`); 'tf' is the Keras-stack
     Conv3D(128/256/64)+3xBiLSTM encoder with blank-last CTC
     (`train.py:495-547`) — see avsync.models.lipnet_tf.
+
+    conv_channels applies to whichever family is selected (the defaults here
+    are the PyTorch stack's; the CLI substitutes (128, 256, 64) when
+    --model_family tf is used without --config).
     """
 
     family: str = "pytorch"

@@ -70,10 +70,15 @@ class LipNetBatcher:
         self.mesh = mesh  # when set, raw batches land sharded over 'data'
         self._preproc_cache: Dict = {}
         self._detector = None
+        self._localizer_params = None
         if config.data.roi_mode == "detector":
             from avsync.data.mouth import MouthDetector
 
             self._detector = MouthDetector()
+        elif config.data.roi_mode == "model":
+            from avsync.models.localizer import load_bundled_params
+
+            self._localizer_params = load_bundled_params()
 
     # -- device preprocessing, compiled per input geometry ----------------
     def _preprocess(self, raw: np.ndarray, boxes=None) -> jax.Array:
@@ -98,6 +103,21 @@ class LipNetBatcher:
                 def run(x):  # on-device ROI localization + per-clip box crop
                     xf = x.astype(jnp.float32)
                     boxes = imglib.variance_mouth_boxes(xf)  # (B, 4)
+                    per_frame = jnp.broadcast_to(
+                        boxes[:, None, :], (x.shape[0], x.shape[1], 4)
+                    )
+                    out = imglib.crop_resize_boxes(
+                        xf, per_frame, (d.img_height, d.img_width)
+                    ) * (1.0 / 255.0)
+                    return out[..., None]
+            elif d.roi_mode == "model":
+                loc_params = self._localizer_params
+
+                def run(x):  # learned on-device localizer (dlib replacement)
+                    from avsync.models.localizer import localize_clip_boxes
+
+                    xf = x.astype(jnp.float32)
+                    boxes = localize_clip_boxes(loc_params, xf)  # (B, 4)
                     per_frame = jnp.broadcast_to(
                         boxes[:, None, :], (x.shape[0], x.shape[1], 4)
                     )

@@ -37,6 +37,8 @@ def make_clip(
     width: int = 100,
     fps: float = 25.0,
     sample_rate: int = 16000,
+    mouth_center: Tuple[float, float] | None = None,
+    mouth_scale: float = 1.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """One audio-visual clip: (T, H, W) uint8 video + float32 audio.
 
@@ -44,6 +46,10 @@ def make_clip(
     the audio is a tone amplitude-modulated by the SAME envelope, so
     visual/audio statistics are correlated when aligned and decorrelated
     when the audio is shifted (zeros swept in).
+
+    mouth_center (normalized (cy, cx), default lower-middle (0.75, 0.5)) and
+    mouth_scale vary the mouth geometry for localizer training; the default
+    arguments consume the same RNG stream as always.
     """
     t = np.arange(n_frames) / fps
     f_env = rng.uniform(1.0, 3.0)
@@ -51,12 +57,15 @@ def make_clip(
     envelope = 0.5 + 0.5 * np.sin(2 * np.pi * f_env * t + phase)  # (T,)
 
     yy, xx = np.mgrid[0:height, 0:width]
-    cy, cx = height * 0.75, width * 0.5  # mouth sits in the lower middle
+    ncy, ncx = mouth_center if mouth_center is not None else (0.75, 0.5)
+    cy, cx = height * ncy, width * ncx
+    # ellipse radii scale with the frame so geometry-agnostic callers work
+    unit = mouth_scale * min(height / 50.0, width / 100.0)
     video = np.empty((n_frames, height, width), np.uint8)
     bg = rng.integers(30, 60)
     for i in range(n_frames):
-        ry = 3.0 + 8.0 * envelope[i]
-        rx = 12.0 + 6.0 * envelope[i]
+        ry = (3.0 + 8.0 * envelope[i]) * unit
+        rx = (12.0 + 6.0 * envelope[i]) * unit
         mouth = (((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2) <= 1.0
         frame = np.full((height, width), bg, np.float32)
         frame += 10.0 * rng.standard_normal((height, width))
@@ -70,6 +79,54 @@ def make_clip(
     audio = (env_audio * np.sin(2 * np.pi * tone * ta)).astype(np.float32) * 0.7
     audio += 0.01 * rng.standard_normal(n_samples).astype(np.float32)
     return video, audio
+
+
+def mouth_box(
+    mouth_center: Tuple[float, float],
+    mouth_scale: float,
+    height: int,
+    width: int,
+    pad: float = 0.02,
+) -> np.ndarray:
+    """Ground-truth normalized (y0, y1, x0, x1) box covering the mouth's
+    maximum open extent (envelope = 1) for `make_clip` geometry."""
+    cy, cx = mouth_center
+    unit = mouth_scale * min(height / 50.0, width / 100.0)
+    ry = 11.0 * unit / height + pad
+    rx = 18.0 * unit / width + pad
+    return np.array(
+        [
+            max(0.0, cy - ry),
+            min(1.0, cy + ry),
+            max(0.0, cx - rx),
+            min(1.0, cx + rx),
+        ],
+        np.float32,
+    )
+
+
+def make_localizer_batch(
+    rng: np.random.Generator,
+    batch: int = 64,
+    height: int = 200,
+    width: int = 400,
+    n_frames: int = 8,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(B, H, W) f32 temporal-mean frames + (B, 4) ground-truth boxes, with
+    randomized mouth centers/scales — the localizer's training distribution
+    (inference also feeds clip mean frames, avsync.models.localizer)."""
+    frames = np.empty((batch, height, width), np.float32)
+    boxes = np.empty((batch, 4), np.float32)
+    for b in range(batch):
+        center = (rng.uniform(0.45, 0.88), rng.uniform(0.25, 0.75))
+        scale = rng.uniform(0.7, 1.6)
+        video, _ = make_clip(
+            rng, n_frames=n_frames, height=height, width=width,
+            mouth_center=center, mouth_scale=scale,
+        )
+        frames[b] = video.astype(np.float32).mean(0)
+        boxes[b] = mouth_box(center, scale, height, width)
+    return frames, boxes
 
 
 def write_corpus(

@@ -16,6 +16,7 @@ extern "C" {
 #include <libavformat/avformat.h>
 #include <libavutil/imgutils.h>
 #include <libavutil/opt.h>
+#include <libavutil/pixdesc.h>
 #include <libswresample/swresample.h>
 #include <libswscale/swscale.h>
 }
@@ -65,9 +66,12 @@ int drain_video(AVCodecContext* ctx, SwsContext** sws, AVFrame* frame,
       out->width = cropping ? out->out_w : frame->width;
     }
     int fw = frame->width, fh = frame->height;
+    // Scale to the geometry latched from the first frame: a mid-stream
+    // resolution change must not change the per-frame buffer stride (the
+    // append below sizes by out->height*out->width).
     *sws = sws_getCachedContext(*sws, fw, fh, (AVPixelFormat)frame->format,
-                                fw, fh, AV_PIX_FMT_GRAY8, SWS_BILINEAR,
-                                nullptr, nullptr, nullptr);
+                                out->width, out->height, AV_PIX_FMT_GRAY8,
+                                SWS_BILINEAR, nullptr, nullptr, nullptr);
     size_t off = out->video.size();
     out->video.resize(off + (size_t)out->height * out->width);
     if (!cropping) {
@@ -91,23 +95,60 @@ int drain_video(AVCodecContext* ctx, SwsContext** sws, AVFrame* frame,
       int cw = x1 - x0, ch = y1 - y0;
       const AVPixFmtDescriptor* desc =
           av_pix_fmt_desc_get((AVPixelFormat)frame->format);
-      const uint8_t* src_data[4] = {nullptr, nullptr, nullptr, nullptr};
-      int src_lin[4] = {0, 0, 0, 0};
-      for (int p = 0; p < 4 && frame->data[p]; ++p) {
-        int hs = (p == 1 || p == 2) ? desc->log2_chroma_w : 0;
-        int vs = (p == 1 || p == 2) ? desc->log2_chroma_h : 0;
-        src_data[p] = frame->data[p] +
-                      (size_t)(y0 >> vs) * frame->linesize[p] + (x0 >> hs);
-        src_lin[p] = frame->linesize[p];
-      }
-      out->crop_sws = sws_getCachedContext(
-          out->crop_sws, cw, ch, (AVPixelFormat)frame->format, out->out_w,
-          out->out_h, AV_PIX_FMT_GRAY8, SWS_BILINEAR, nullptr, nullptr,
-          nullptr);
       uint8_t* dst_data[4] = {out->video.data() + off, nullptr, nullptr,
                               nullptr};
       int dst_lin[4] = {out->out_w, 0, 0, 0};
-      sws_scale(out->crop_sws, src_data, src_lin, 0, ch, dst_data, dst_lin);
+      // Pointer-offset cropping needs byte-addressable pixels; bitstream
+      // (<8-bit packed) and palettized formats get the gray-first fallback.
+      bool ptr_croppable =
+          desc != nullptr &&
+          !(desc->flags & (AV_PIX_FMT_FLAG_BITSTREAM | AV_PIX_FMT_FLAG_PAL));
+      if (ptr_croppable) {
+        // Horizontal byte step per plane from the format descriptor: 1 for
+        // planar 8-bit (yuv420p), 2 for 16-bit planar (p016/yuv420p16),
+        // 3 for packed rgb24, 2 for yuyv422's luma plane, etc.
+        size_t plane_step[4] = {0, 0, 0, 0};
+        for (int c = 0; c < desc->nb_components; ++c) {
+          int p = desc->comp[c].plane;
+          if (p >= 0 && p < 4 && plane_step[p] == 0)
+            plane_step[p] = (size_t)desc->comp[c].step;
+        }
+        const uint8_t* src_data[4] = {nullptr, nullptr, nullptr, nullptr};
+        int src_lin[4] = {0, 0, 0, 0};
+        for (int p = 0; p < 4 && frame->data[p]; ++p) {
+          int hs = (p == 1 || p == 2) ? desc->log2_chroma_w : 0;
+          int vs = (p == 1 || p == 2) ? desc->log2_chroma_h : 0;
+          size_t step = plane_step[p] ? plane_step[p] : 1;
+          src_data[p] = frame->data[p] +
+                        (size_t)(y0 >> vs) * frame->linesize[p] +
+                        (size_t)(x0 >> hs) * step;
+          src_lin[p] = frame->linesize[p];
+        }
+        out->crop_sws = sws_getCachedContext(
+            out->crop_sws, cw, ch, (AVPixelFormat)frame->format, out->out_w,
+            out->out_h, AV_PIX_FMT_GRAY8, SWS_BILINEAR, nullptr, nullptr,
+            nullptr);
+        sws_scale(out->crop_sws, src_data, src_lin, 0, ch, dst_data, dst_lin);
+      } else {
+        // Fallback: whole frame -> gray8 once, then the crop is plain byte
+        // arithmetic in gray space before the resize pass.
+        std::vector<uint8_t> gray((size_t)fh * fw);
+        SwsContext* to_gray = sws_getContext(
+            fw, fh, (AVPixelFormat)frame->format, fw, fh, AV_PIX_FMT_GRAY8,
+            SWS_BILINEAR, nullptr, nullptr, nullptr);
+        if (to_gray == nullptr) return AVERROR(EINVAL);
+        uint8_t* gdst[4] = {gray.data(), nullptr, nullptr, nullptr};
+        int glin[4] = {fw, 0, 0, 0};
+        sws_scale(to_gray, frame->data, frame->linesize, 0, fh, gdst, glin);
+        sws_freeContext(to_gray);
+        const uint8_t* csrc[4] = {gray.data() + (size_t)y0 * fw + x0,
+                                  nullptr, nullptr, nullptr};
+        int clin[4] = {fw, 0, 0, 0};
+        out->crop_sws = sws_getCachedContext(
+            out->crop_sws, cw, ch, AV_PIX_FMT_GRAY8, out->out_w, out->out_h,
+            AV_PIX_FMT_GRAY8, SWS_BILINEAR, nullptr, nullptr, nullptr);
+        sws_scale(out->crop_sws, csrc, clin, 0, ch, dst_data, dst_lin);
+      }
     }
     out->n_frames++;
     av_frame_unref(frame);

@@ -3,4 +3,26 @@
 from avsync.models.lipnet import BiGRU, LipNet
 from avsync.models.detector import MisalignmentDetector
 
-__all__ = ["LipNet", "BiGRU", "MisalignmentDetector"]
+
+def make_lipnet(model_cfg):
+    """Family-dispatching LipNet constructor.
+
+    'pytorch' -> Conv3D(32/64/96)+BiGRU encoder, blank=0 CTC (`model.py:7-97`);
+    'tf' -> Conv3D(128/256/64)+3xBiLSTM encoder, blank-last CTC
+    (`train.py:495-547`). Every consumer (trainer, CLI, predictor) must build
+    the model through this so decode/loss dispatch stays consistent.
+    """
+    if model_cfg.family == "tf":
+        from avsync.models.lipnet_tf import TFLipNet, TFModelConfig
+
+        return TFLipNet(
+            TFModelConfig(
+                hidden_dim=model_cfg.hidden_dim,
+                dropout_rate=model_cfg.dropout_rate,
+                conv_channels=tuple(model_cfg.conv_channels),
+            )
+        )
+    return LipNet(model_cfg)
+
+
+__all__ = ["LipNet", "BiGRU", "MisalignmentDetector", "make_lipnet"]

@@ -1,0 +1,120 @@
+"""Learned mouth-ROI localizer — the TPU-native stand-in for dlib landmarks.
+
+The reference's primary mouth-ROI path is dlib 68-landmark detection
+(`train.py:126-188`: landmarks 48-60 -> bbox + 30 px padding) running on the
+host CPU per frame. dlib does not exist in this environment, and per-frame
+host inference is exactly the kind of Python hot loop the TPU build avoids.
+This module replaces it with a ~7k-parameter conv box-regressor that runs
+ON DEVICE, batched over clips:
+
+  * input: the clip's temporal mean frame (face position is static within a
+    GRID clip), resized to a fixed 48x96 so the program compiles once;
+  * output: one normalized (y0, y1, x0, x1) mouth box per clip, consumed by
+    the same `crop_resize_boxes` device crop as the detector/variance modes;
+  * weights: bundled (localizer_weights.npz), trained on the synthetic
+    corpus where the mouth box is known by construction
+    (avsync/data/synthetic.py, scripts/train_localizer.py).
+
+Selected with DataConfig.roi_mode = "model".
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avsync.ops.image import resize_bilinear
+
+# Fixed network input geometry (H, W): clips are resized here before the net.
+NET_HW: Tuple[int, int] = (48, 96)
+
+_WEIGHTS_FILE = os.path.join(os.path.dirname(__file__), "localizer_weights.npz")
+
+
+class MouthLocalizer(nn.Module):
+    """(B, 48, 96, 1) f32 in [0,1] -> (B, 4) normalized (y0, y1, x0, x1)."""
+
+    widths: Tuple[int, int, int] = (8, 16, 32)
+    dense_dim: int = 32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for i, w in enumerate(self.widths):
+            x = nn.Conv(w, (3, 3), strides=(2, 2), name=f"conv{i + 1}")(x)
+            x = nn.relu(x)
+        x = x.mean(axis=(1, 2))  # global average pool -> (B, C)
+        x = nn.relu(nn.Dense(self.dense_dim, name="fc1")(x))
+        raw = nn.Dense(4, name="fc2")(x)
+        return decode_box(raw)
+
+
+def decode_box(raw: jax.Array) -> jax.Array:
+    """4 raw logits -> a valid normalized box via (center, size) params.
+
+    cy, cx in (0, 1); box height/width in (0.05, 0.95) — always a non-empty
+    box, clipped to the frame.
+    """
+    cy = jax.nn.sigmoid(raw[..., 0])
+    cx = jax.nn.sigmoid(raw[..., 1])
+    bh = 0.05 + 0.9 * jax.nn.sigmoid(raw[..., 2])
+    bw = 0.05 + 0.9 * jax.nn.sigmoid(raw[..., 3])
+    y0 = jnp.clip(cy - bh / 2, 0.0, 1.0)
+    y1 = jnp.clip(cy + bh / 2, 0.0, 1.0)
+    x0 = jnp.clip(cx - bw / 2, 0.0, 1.0)
+    x1 = jnp.clip(cx + bw / 2, 0.0, 1.0)
+    return jnp.stack([y0, y1, x0, x1], axis=-1)
+
+
+def localize_frames(params, frames: jax.Array) -> jax.Array:
+    """(B, H, W) f32 [0, 255] or [0, 1] -> (B, 4) boxes."""
+    x = frames
+    # normalize scale: works for both uint8-range and unit-range inputs
+    x = x / jnp.maximum(x.max(axis=(1, 2), keepdims=True), 1e-6)
+    x = resize_bilinear(x, NET_HW)[..., None]
+    return MouthLocalizer().apply({"params": params}, x)
+
+
+def localize_clip_boxes(params, clips: jax.Array) -> jax.Array:
+    """(B, T, H, W) f32 -> (B, 4): one box per clip from the temporal mean
+    frame (the bundled weights are trained on exactly this statistic)."""
+    return localize_frames(params, clips.mean(axis=1))
+
+
+def iou(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Elementwise IoU of (..., 4) boxes in (y0, y1, x0, x1) form."""
+    iy = jnp.maximum(
+        0.0, jnp.minimum(a[..., 1], b[..., 1]) - jnp.maximum(a[..., 0], b[..., 0])
+    )
+    ix = jnp.maximum(
+        0.0, jnp.minimum(a[..., 3], b[..., 3]) - jnp.maximum(a[..., 2], b[..., 2])
+    )
+    inter = iy * ix
+    area = lambda z: jnp.maximum(0.0, z[..., 1] - z[..., 0]) * jnp.maximum(
+        0.0, z[..., 3] - z[..., 2]
+    )
+    return inter / jnp.maximum(area(a) + area(b) - inter, 1e-9)
+
+
+def save_params(params, path: str = _WEIGHTS_FILE) -> None:
+    from flax.traverse_util import flatten_dict
+
+    flat = {
+        "/".join(k): np.asarray(v)
+        for k, v in flatten_dict(jax.device_get(params)).items()
+    }
+    np.savez(path, **flat)
+
+
+def load_bundled_params(path: str = _WEIGHTS_FILE):
+    """Bundled weights -> flax param tree. Raises FileNotFoundError when the
+    bundle is absent (callers fall back to the heuristic crop)."""
+    from flax.traverse_util import unflatten_dict
+
+    with np.load(path) as z:
+        flat = {tuple(k.split("/")): jnp.asarray(z[k]) for k in z.files}
+    return unflatten_dict(flat)

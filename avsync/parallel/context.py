@@ -91,10 +91,8 @@ def cp_gru_recurrence(
     gi: (B, T, 3H) with T divisible by the axis size. Returns (B, T, H),
     numerically identical to the single-device scan.
     """
-    from jax.experimental.shard_map import shard_map
-
     body = functools.partial(_cp_body, axis=axis)
-    fn = shard_map(
+    fn = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(None, axis, None), P(), P()),

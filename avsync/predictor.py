@@ -20,7 +20,7 @@ import numpy as np
 
 from avsync import text as textlib
 from avsync.config import AvsyncConfig
-from avsync.models import LipNet, MisalignmentDetector
+from avsync.models import LipNet, MisalignmentDetector, make_lipnet
 from avsync.ops import image as imglib
 
 
@@ -50,7 +50,7 @@ class LipReader:
 
     def __init__(self, checkpoint: str, config: Optional[AvsyncConfig] = None):
         self.cfg = config or AvsyncConfig()
-        self.model = LipNet(self.cfg.model)
+        self.model = make_lipnet(self.cfg.model)
         self.params = _load_params(checkpoint, self.cfg)
         self._fwd = jax.jit(
             lambda p, v: self.model.apply({"params": p}, v)

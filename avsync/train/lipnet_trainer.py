@@ -153,22 +153,14 @@ class LipNetTrainer:
             config.train.mesh_shape
         )
         self.log = log or Logger(None, console=True)
-        if config.model.family == "tf":
-            from avsync.models.lipnet_tf import (
-                TFLipNet,
-                TFModelConfig,
-                tf_ctc_loss,
-            )
+        from avsync.models import make_lipnet
 
-            self.model = TFLipNet(
-                TFModelConfig(
-                    hidden_dim=config.model.hidden_dim,
-                    dropout_rate=config.model.dropout_rate,
-                )
-            )
+        self.model = make_lipnet(config.model)
+        if config.model.family == "tf":
+            from avsync.models.lipnet_tf import tf_ctc_loss
+
             self._loss_fn = lambda lp, labels, lengths: tf_ctc_loss(lp, labels)
         else:
-            self.model = LipNet(config.model)
             self._loss_fn = None  # default ctc_loss_mean
         self.optimizer = make_optimizer(
             config.train.learning_rate, config.train.grad_clip_norm
@@ -193,15 +185,29 @@ class LipNetTrainer:
     def shard_state(self, state: TrainState) -> TrainState:
         pshard = meshlib.param_sharding(self.mesh, state.params)
         params = jax.tree.map(jax.device_put, state.params, pshard)
-        # optimizer state mirrors param shardings where shapes match; scalars
-        # and counters replicate.
-        def put_opt(x):
-            if hasattr(x, "ndim") and x.ndim > 0:
-                return jax.device_put(x, meshlib.replicated(self.mesh))
-            return jax.device_put(x, meshlib.replicated(self.mesh))
+        # Adam moments are param-shaped pytrees — they follow the param
+        # shardings exactly (tensor-parallel columns included); counters and
+        # everything else replicate.
+        rep = meshlib.replicated(self.mesh)
 
-        opt_state = jax.tree.map(put_opt, state.opt_state)
-        step = jax.device_put(state.step, meshlib.replicated(self.mesh))
+        def put_opt(sub):
+            if isinstance(sub, optax.ScaleByAdamState):
+                return optax.ScaleByAdamState(
+                    count=jax.device_put(sub.count, rep),
+                    mu=jax.tree.map(jax.device_put, sub.mu, pshard),
+                    nu=jax.tree.map(jax.device_put, sub.nu, pshard),
+                )
+            return jax.tree.map(lambda x: jax.device_put(x, rep), sub)
+
+        is_plain_tuple = isinstance(state.opt_state, tuple) and not hasattr(
+            state.opt_state, "_fields"
+        )  # optax.chain state, not a NamedTuple transform state
+        opt_state = (
+            tuple(put_opt(s) for s in state.opt_state)
+            if is_plain_tuple
+            else put_opt(state.opt_state)
+        )
+        step = jax.device_put(state.step, rep)
         return TrainState(params, opt_state, step)
 
     # -- compiled steps ---------------------------------------------------
@@ -301,7 +307,9 @@ class LipNetTrainer:
         self.log.log(f"Starting training for {epochs} epochs...")
         t0 = time.time()
         best_val, best_snapshot, stall = float("inf"), None, 0
+        final_epoch = 0
         for epoch in range(1, epochs + 1):
+            final_epoch = epoch
             if lr_schedule is not None:
                 self.current_lr = float(lr_schedule(epoch - 1, self.current_lr))
             te = time.time()
@@ -342,7 +350,9 @@ class LipNetTrainer:
                         )
                         break
 
-        ckpt.save(epochs + 1, jax.device_get(state), config=self.config)
+        # Final snapshot labeled one past the epoch actually reached (early
+        # stopping included), not past the requested epoch count.
+        ckpt.save(final_epoch + 1, jax.device_get(state), config=self.config)
         ckpt.close()
         if history_path:
             with open(history_path, "w") as f:

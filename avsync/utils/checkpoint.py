@@ -44,6 +44,10 @@ class CheckpointManager:
         metrics: Optional[Dict[str, Any]] = None,
     ) -> None:
         meta: Dict[str, Any] = {}
+        if step in self._mgr.all_steps():
+            # last-write-wins: resuming into the same directory re-saves the
+            # final snapshot under the same step label
+            self._mgr.delete(step)
         if config is not None:
             meta["config"] = config.to_dict()
         if metrics is not None:

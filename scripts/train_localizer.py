@@ -1,0 +1,113 @@
+"""Train the mouth localizer on the synthetic corpus and bundle the weights.
+
+The synthetic corpus knows the mouth box by construction
+(avsync.data.synthetic.mouth_box), so this is fully supervised box
+regression: smooth-L1 on the corners + an IoU term. The resulting ~7k-param
+net ships as avsync/models/localizer_weights.npz and powers
+DataConfig.roi_mode="model" (the dlib-landmark replacement).
+
+Run: python scripts/train_localizer.py [steps] [out.npz]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from avsync.data.synthetic import make_localizer_batch
+    from avsync.models.localizer import (
+        MouthLocalizer,
+        NET_HW,
+        iou,
+        localize_frames,
+        save_params,
+    )
+
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
+    out = sys.argv[2] if len(sys.argv) > 2 else None
+
+    rng = np.random.default_rng(0)
+    print("generating training set...", flush=True)
+    t0 = time.time()
+    # mixed geometries so the resize-to-48x96 front end sees both aspect
+    # treatments; boxes are normalized, so they concatenate trivially
+    frames_a, boxes_a = make_localizer_batch(rng, 1536, height=200, width=400)
+    frames_b, boxes_b = make_localizer_batch(rng, 512, height=120, width=160)
+    # pre-resize to the net geometry on host so the train step is static
+    from avsync.ops.image import resize_bilinear
+
+    def prep(frames):
+        x = jnp.asarray(frames)
+        x = x / jnp.maximum(x.max(axis=(1, 2), keepdims=True), 1e-6)
+        return np.asarray(resize_bilinear(x, NET_HW))
+
+    X = np.concatenate([prep(frames_a), prep(frames_b)])
+    Y = np.concatenate([boxes_a, boxes_b])
+    n_val = 256
+    Xv, Yv = X[:n_val], Y[:n_val]
+    Xt, Yt = X[n_val:], Y[n_val:]
+    print(f"dataset: train={len(Xt)} val={n_val} ({time.time() - t0:.1f}s)",
+          flush=True)
+
+    model = MouthLocalizer()
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key}, jnp.zeros((1, *NET_HW, 1)))["params"]
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    def loss_fn(params, x, y):
+        pred = model.apply({"params": params}, x[..., None])
+        l1 = jnp.abs(pred - y).mean()
+        return l1 + (1.0 - iou(pred, y).mean())
+
+    @jax.jit
+    def train_step(params, opt_state, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, y)
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @jax.jit
+    def val_iou(params, x, y):
+        pred = model.apply({"params": params}, x[..., None])
+        return iou(pred, y).mean()
+
+    B = 128
+    order = np.arange(len(Xt))
+    for step in range(steps):
+        if step % (len(Xt) // B) == 0:
+            rng.shuffle(order)
+        idx = order[(step * B) % len(Xt): (step * B) % len(Xt) + B]
+        params, opt_state, loss = train_step(params, opt_state, Xt[idx], Yt[idx])
+        if step % 200 == 0 or step == steps - 1:
+            v = float(val_iou(params, Xv, Yv))
+            print(f"step {step:5d}  loss={float(loss):.4f}  val_iou={v:.3f}",
+                  flush=True)
+
+    final_iou = float(val_iou(params, Xv, Yv))
+    print(f"final val IoU: {final_iou:.3f}")
+    if out:
+        save_params(params, out)
+        print(f"saved -> {out}")
+    else:
+        save_params(params)
+        print("saved -> avsync/models/localizer_weights.npz")
+
+    # sanity: the full inference path (raw frames -> boxes) agrees
+    chk = localize_frames(params, jnp.asarray(frames_a[:4]))
+    print("sample boxes:", np.round(np.asarray(chk), 3).tolist())
+    print("truth boxes: ", np.round(boxes_a[:4], 3).tolist())
+
+
+if __name__ == "__main__":
+    main()

@@ -106,6 +106,84 @@ class TestTrainFlow:
         assert "CER:" in out
 
 
+class TestResumeAndFamily:
+    def test_train_resume_cli(self, workdir, capsys):
+        """--resume restores params+optimizer+step and keeps training
+        (train split = 2 of 3 speakers = 8 clips / batch 4 = 2 steps per
+        epoch; two 1-epoch runs must land on step 4)."""
+        import jax
+
+        from avsync.utils.checkpoint import CheckpointManager
+
+        ckpt_dir = os.path.join(workdir["root"], "resume_ckpts")
+        rc = run_cli([
+            "train", "--data_path", workdir["corpus"],
+            "--config", workdir["cfg_path"],
+            "--epochs", "1", "--checkpoint_dir", ckpt_dir,
+        ])
+        assert rc == 0
+        rc = run_cli([
+            "train", "--data_path", workdir["corpus"],
+            "--config", workdir["cfg_path"],
+            "--epochs", "1", "--checkpoint_dir", ckpt_dir,
+            "--resume", ckpt_dir,
+        ])
+        assert rc == 0
+        assert "Resumed from" in capsys.readouterr().out
+
+        ckpt = CheckpointManager(ckpt_dir)
+        raw = ckpt.restore()[0]
+        ckpt.close()
+        step = int(np.asarray(jax.device_get(raw["step"])))
+        assert step == 4, f"expected 2 epochs x 2 steps, got {step}"
+
+    def test_tf_family_train_and_eval(self, workdir, tmp_path, capsys):
+        """--model_family tf end-to-end on a tiny TF config: the evaluation
+        must decode with the blank-last 32-way vocabulary (a pytorch-vocab
+        decode would emit garbage indices or crash)."""
+        from avsync.config import AvsyncConfig, DataConfig, ModelConfig, TrainConfig
+
+        cfg = AvsyncConfig(
+            data=DataConfig(
+                data_path=workdir["corpus"], img_height=16, img_width=32,
+                max_video_length=8, batch_size=4, max_label_length=6,
+            ),
+            model=ModelConfig(
+                family="tf", hidden_dim=4, conv_channels=(2, 3, 4)
+            ),
+            train=TrainConfig(learning_rate=1e-3, checkpoint_every=10),
+        )
+        cfg_path = str(tmp_path / "tf_tiny.json")
+        with open(cfg_path, "w") as f:
+            f.write(cfg.to_json())
+        ckpt_dir = str(tmp_path / "tf_ckpts")
+        rc = run_cli([
+            "train", "--data_path", workdir["corpus"],
+            "--config", cfg_path, "--epochs", "1",
+            "--checkpoint_dir", ckpt_dir,
+        ])
+        assert rc == 0
+        results = json.load(open(os.path.join(ckpt_dir, "test_results.json")))
+        assert results["num_samples"] > 0
+        assert 0.0 <= results["wer"]
+
+        # infer with the Orbax checkpoint + tf family decodes without error
+        clip = os.path.join(workdir["corpus"], "s1", "clip00.npy")
+        rc = run_cli([
+            "infer", clip, "--checkpoint", ckpt_dir, "--config", cfg_path,
+        ])
+        assert rc == 0
+        assert "Predicted:" in capsys.readouterr().out
+
+    def test_tf_family_rejects_pth(self, workdir, trained_pth, tmp_path):
+        from avsync.cli import _load_lipnet_params
+        from avsync.config import AvsyncConfig, ModelConfig
+
+        cfg = AvsyncConfig(model=ModelConfig(family="tf"))
+        with pytest.raises(ValueError, match="PyTorch-family"):
+            _load_lipnet_params(trained_pth, None, cfg)
+
+
 class TestMisalignFlow:
     def test_misalign_train_and_demo(self, workdir, trained_pth, capsys):
         pth = trained_pth

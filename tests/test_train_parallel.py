@@ -114,6 +114,31 @@ class TestTrainStep:
         for shape, v in losses.items():
             assert v == pytest.approx(base, rel=1e-4), (shape, losses)
 
+    def test_adam_moments_follow_param_sharding(self):
+        """Tensor-parallel runs must shard the optimizer moments like the
+        params (not replicate them) — mu/nu are param-shaped."""
+        import optax
+
+        cfg = tiny_config()
+        trainer = LipNetTrainer(
+            cfg, mesh=make_mesh((4, 2)), log=Logger(None, console=False)
+        )
+        rng = np.random.default_rng(5)
+        state = trainer.init_state(synth_batch(rng))
+        adam = next(
+            s for s in state.opt_state if isinstance(s, optax.ScaleByAdamState)
+        )
+        p_leaves = jax.tree.leaves(state.params)
+        mu_leaves = jax.tree.leaves(adam.mu)
+        assert len(p_leaves) == len(mu_leaves)
+        shardings = [
+            (p.sharding.spec, m.sharding.spec)
+            for p, m in zip(p_leaves, mu_leaves)
+        ]
+        assert all(ps == ms for ps, ms in shardings), shardings
+        # at least one leaf actually uses the model axis at tp=2
+        assert any("model" in str(ps) for ps, _ in shardings)
+
     def test_hierarchical_slice_mesh_consistent(self):
         """2-level ('slice','data','model') mesh — the multi-slice DCN
         stand-in — must reproduce the flat (8,1) loss exactly: XLA decomposes
