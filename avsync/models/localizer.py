@@ -37,7 +37,13 @@ _WEIGHTS_FILE = os.path.join(os.path.dirname(__file__), "localizer_weights.npz")
 
 
 class MouthLocalizer(nn.Module):
-    """(B, 48, 96, 1) f32 in [0,1] -> (B, 4) normalized (y0, y1, x0, x1)."""
+    """(B, 48, 96, 1) f32 in [0,1] -> (B, 4) normalized (y0, y1, x0, x1).
+
+    Soft-argmax head: a 1-channel heatmap over the final conv grid gives the
+    box center as an attention-weighted expectation (global pooling would
+    discard exactly the spatial information a localizer needs); the box size
+    comes from the attention-pooled features.
+    """
 
     widths: Tuple[int, int, int] = (8, 16, 32)
     dense_dim: int = 32
@@ -47,10 +53,29 @@ class MouthLocalizer(nn.Module):
         for i, w in enumerate(self.widths):
             x = nn.Conv(w, (3, 3), strides=(2, 2), name=f"conv{i + 1}")(x)
             x = nn.relu(x)
-        x = x.mean(axis=(1, 2))  # global average pool -> (B, C)
-        x = nn.relu(nn.Dense(self.dense_dim, name="fc1")(x))
-        raw = nn.Dense(4, name="fc2")(x)
-        return decode_box(raw)
+        B, gh, gw, C = x.shape
+        heat = nn.Conv(1, (1, 1), name="heat")(x).reshape(B, gh * gw)
+        p = jax.nn.softmax(heat, axis=-1).reshape(B, gh, gw)
+        # normalized cell-center coordinates of the feature grid
+        ys = (jnp.arange(gh, dtype=x.dtype) + 0.5) / gh
+        xs = (jnp.arange(gw, dtype=x.dtype) + 0.5) / gw
+        cy = jnp.einsum("bhw,h->b", p, ys)
+        cx = jnp.einsum("bhw,w->b", p, xs)
+        pooled = jnp.einsum("bhw,bhwc->bc", p, x)  # attention pooling
+        z = nn.relu(nn.Dense(self.dense_dim, name="fc1")(pooled))
+        size_raw = nn.Dense(2, name="fc2")(z)
+        bh = 0.05 + 0.9 * jax.nn.sigmoid(size_raw[..., 0])
+        bw = 0.05 + 0.9 * jax.nn.sigmoid(size_raw[..., 1])
+        return center_size_to_box(cy, cx, bh, bw)
+
+
+def center_size_to_box(cy, cx, bh, bw) -> jax.Array:
+    """(center, size) -> clipped normalized (y0, y1, x0, x1)."""
+    y0 = jnp.clip(cy - bh / 2, 0.0, 1.0)
+    y1 = jnp.clip(cy + bh / 2, 0.0, 1.0)
+    x0 = jnp.clip(cx - bw / 2, 0.0, 1.0)
+    x1 = jnp.clip(cx + bw / 2, 0.0, 1.0)
+    return jnp.stack([y0, y1, x0, x1], axis=-1)
 
 
 def decode_box(raw: jax.Array) -> jax.Array:
@@ -59,15 +84,12 @@ def decode_box(raw: jax.Array) -> jax.Array:
     cy, cx in (0, 1); box height/width in (0.05, 0.95) — always a non-empty
     box, clipped to the frame.
     """
-    cy = jax.nn.sigmoid(raw[..., 0])
-    cx = jax.nn.sigmoid(raw[..., 1])
-    bh = 0.05 + 0.9 * jax.nn.sigmoid(raw[..., 2])
-    bw = 0.05 + 0.9 * jax.nn.sigmoid(raw[..., 3])
-    y0 = jnp.clip(cy - bh / 2, 0.0, 1.0)
-    y1 = jnp.clip(cy + bh / 2, 0.0, 1.0)
-    x0 = jnp.clip(cx - bw / 2, 0.0, 1.0)
-    x1 = jnp.clip(cx + bw / 2, 0.0, 1.0)
-    return jnp.stack([y0, y1, x0, x1], axis=-1)
+    return center_size_to_box(
+        jax.nn.sigmoid(raw[..., 0]),
+        jax.nn.sigmoid(raw[..., 1]),
+        0.05 + 0.9 * jax.nn.sigmoid(raw[..., 2]),
+        0.05 + 0.9 * jax.nn.sigmoid(raw[..., 3]),
+    )
 
 
 def localize_frames(params, frames: jax.Array) -> jax.Array:

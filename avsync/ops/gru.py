@@ -112,9 +112,10 @@ def gru_scan_fused(
     (avsync.ops.pallas.gru): w_hh and the carry stay VMEM-resident across all
     T steps, inputs/outputs stream with double-buffered DMA.
 
-    Differentiable: the custom VJP recomputes the recurrence with the
-    lax.scan implementation and backprops through that (identical math), so
-    training works; the Pallas path pays off on forward/serving.
+    Fully trainable: the custom VJP runs the fused Pallas BACKWARD kernel
+    (avsync.ops.pallas.gru.pallas_gru_bwd), which walks the chain in reverse
+    with the dh carry, W_hh/W_hh^T and the dW/db accumulators VMEM-resident,
+    recomputing gates from the (gi, h) residuals the forward already has.
     """
     dt = compute_dtype or x.dtype
     gi = (
@@ -158,15 +159,17 @@ def _scan_recurrence(gi, w_hh, b_hh, reverse):
 
 def _pallas_recurrence_fwd(gi, w_hh, b_hh, reverse):
     out = _pallas_recurrence(gi, w_hh, b_hh, reverse)
-    return out, (gi, w_hh, b_hh)
+    # residuals are exactly the forward's inputs and outputs — the backward
+    # kernel recomputes gates rather than storing r/z/n
+    return out, (gi, out, w_hh, b_hh)
 
 
 def _pallas_recurrence_bwd(reverse, residuals, g):
-    gi, w_hh, b_hh = residuals
-    _, vjp = jax.vjp(
-        lambda *a: _scan_recurrence(*a, reverse), gi, w_hh, b_hh
-    )
-    return vjp(g)
+    from avsync.ops.pallas.gru import pallas_gru_bwd
+
+    gi, out, w_hh, b_hh = residuals
+    dgi, dw_hh, db_hh = pallas_gru_bwd(gi, out, g, w_hh, b_hh, reverse=reverse)
+    return dgi.astype(gi.dtype), dw_hh.astype(w_hh.dtype), db_hh.astype(b_hh.dtype)
 
 
 _pallas_recurrence.defvjp(_pallas_recurrence_fwd, _pallas_recurrence_bwd)

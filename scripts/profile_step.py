@@ -32,11 +32,15 @@ def timeit(fn, *args, n=5, warmup=1):
 
 
 def _sync(out):
+    """Fetch ONE element of the first output leaf: forces device completion
+    (block_until_ready lies through the axon tunnel) without transferring the
+    whole array (a (B,75,50,100,32) activation is gigabytes)."""
     import jax
 
-    leaves = jax.tree.leaves(out)
-    x = leaves[0]
-    float(np.asarray(x).ravel()[0])
+    x = jax.tree.leaves(out)[0]
+    if hasattr(x, "reshape"):
+        x = x.reshape(-1)[:1]
+    float(np.asarray(x)[0])
 
 
 def main():

@@ -36,23 +36,31 @@ def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
     out = sys.argv[2] if len(sys.argv) > 2 else None
 
+    import os
+
     rng = np.random.default_rng(0)
-    print("generating training set...", flush=True)
     t0 = time.time()
-    # mixed geometries so the resize-to-48x96 front end sees both aspect
-    # treatments; boxes are normalized, so they concatenate trivially
-    frames_a, boxes_a = make_localizer_batch(rng, 1536, height=200, width=400)
-    frames_b, boxes_b = make_localizer_batch(rng, 512, height=120, width=160)
-    # pre-resize to the net geometry on host so the train step is static
+    cache = "/tmp/localizer_dataset.npz"
     from avsync.ops.image import resize_bilinear
 
     def prep(frames):
+        # pre-resize to the net geometry on host so the train step is static
         x = jnp.asarray(frames)
         x = x / jnp.maximum(x.max(axis=(1, 2), keepdims=True), 1e-6)
         return np.asarray(resize_bilinear(x, NET_HW))
 
-    X = np.concatenate([prep(frames_a), prep(frames_b)])
-    Y = np.concatenate([boxes_a, boxes_b])
+    if os.path.exists(cache):
+        z = np.load(cache)
+        X, Y, frames_a, boxes_a = z["X"], z["Y"], z["fa"], z["ba"]
+    else:
+        print("generating training set...", flush=True)
+        # mixed geometries so the resize-to-48x96 front end sees both aspect
+        # treatments; boxes are normalized, so they concatenate trivially
+        frames_a, boxes_a = make_localizer_batch(rng, 1536, height=200, width=400)
+        frames_b, boxes_b = make_localizer_batch(rng, 512, height=120, width=160)
+        X = np.concatenate([prep(frames_a), prep(frames_b)])
+        Y = np.concatenate([boxes_a, boxes_b])
+        np.savez(cache, X=X, Y=Y, fa=frames_a[:4], ba=boxes_a[:4])
     n_val = 256
     Xv, Yv = X[:n_val], Y[:n_val]
     Xt, Yt = X[n_val:], Y[n_val:]

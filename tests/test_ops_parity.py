@@ -61,6 +61,104 @@ def _torch_gru_to_params(tgru: nn.GRU, suffix: str = "") -> GRUParams:
     return GRUParams(*(jnp.asarray(a) for a in (w_ih, w_hh, b_ih, b_hh)))
 
 
+class TestPack2Conv:
+    """pack2 = SAME stride-1 conv with W-pairs packed into the channel dim
+    (avsync/ops/conv.py): must match conv3d exactly, block through pool."""
+
+    @pytest.mark.parametrize(
+        "in_c,out_c,k", [(1, 4, (3, 5, 5)), (3, 6, (3, 5, 5)), (4, 5, (3, 3, 3))]
+    )
+    def test_packed_equals_standard(self, rng, in_c, out_c, k):
+        from avsync.ops.conv import conv3d_pack2
+
+        x = jnp.asarray(rng.normal(size=(2, 4, 7, 12, in_c)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(*k, in_c, out_c)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(out_c,)).astype(np.float32))
+        ref = np.asarray(conv3d(x, w, b))
+        got = np.asarray(conv3d_pack2(x, w, b))
+        B, T, H, W, C = ref.shape
+        # out[..., w2, j*C + c] == ref[..., 2*w2 + j, c]
+        interleaved = np.empty_like(ref)
+        interleaved[..., 0::2, :] = got[..., :C]
+        interleaved[..., 1::2, :] = got[..., C:]
+        np.testing.assert_allclose(interleaved, ref, atol=1e-4, rtol=1e-4)
+
+    def test_block_with_pool_matches(self, rng):
+        import jax
+
+        from avsync.ops.conv import conv3d_pack2, pool_packed2
+
+        x = jnp.asarray(rng.normal(size=(2, 3, 10, 16, 3)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(3, 5, 5, 3, 6)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(6,)).astype(np.float32))
+        ref = max_pool3d(jax.nn.relu(conv3d(x, w, b)))
+        got = pool_packed2(jax.nn.relu(conv3d_pack2(x, w, b)))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4
+        )
+
+    @pytest.mark.parametrize("in_c,out_c,k", [(1, 4, (3, 5, 5)), (3, 5, (3, 3, 3))])
+    def test_pack4_block_with_pool_matches(self, rng, in_c, out_c, k):
+        import jax
+
+        from avsync.ops.conv import conv3d_pack4, pool_packed4
+
+        x = jnp.asarray(rng.normal(size=(2, 3, 10, 16, in_c)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(*k, in_c, out_c)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(out_c,)).astype(np.float32))
+        ref = max_pool3d(jax.nn.relu(conv3d(x, w, b)))
+        got = pool_packed4(jax.nn.relu(conv3d_pack4(x, w, b)))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4
+        )
+
+    def test_pack4_gradients_match(self, rng):
+        import jax
+
+        from avsync.ops.conv import conv3d_pack4, pool_packed4
+
+        x = jnp.asarray(rng.normal(size=(1, 3, 6, 8, 2)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(3, 3, 5, 2, 4)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+
+        def loss_std(w, x, b):
+            return (max_pool3d(jax.nn.relu(conv3d(x, w, b))) ** 2).sum()
+
+        def loss_pk(w, x, b):
+            return (pool_packed4(jax.nn.relu(conv3d_pack4(x, w, b))) ** 2).sum()
+
+        ref = jax.grad(loss_std, argnums=(0, 1, 2))(w, x, b)
+        got = jax.grad(loss_pk, argnums=(0, 1, 2))(w, x, b)
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), atol=1e-3, rtol=1e-4
+            )
+
+    def test_gradients_match(self, rng):
+        """Autodiff through the packed formulation equals the standard one
+        (dW flows back through the pack2 kernel construction)."""
+        import jax
+
+        from avsync.ops.conv import conv3d_pack2, pool_packed2
+
+        x = jnp.asarray(rng.normal(size=(1, 3, 6, 8, 2)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(3, 3, 5, 2, 4)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+
+        def loss_std(w, x, b):
+            return (max_pool3d(jax.nn.relu(conv3d(x, w, b))) ** 2).sum()
+
+        def loss_pk(w, x, b):
+            return (pool_packed2(jax.nn.relu(conv3d_pack2(x, w, b))) ** 2).sum()
+
+        ref = jax.grad(loss_std, argnums=(0, 1, 2))(w, x, b)
+        got = jax.grad(loss_pk, argnums=(0, 1, 2))(w, x, b)
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), atol=1e-3, rtol=1e-4
+            )
+
+
 class TestGRU:
     def test_unidirectional_matches_torch(self, rng):
         D, H, B, T = 6, 5, 3, 11
