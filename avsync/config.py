@@ -78,6 +78,10 @@ class ModelConfig:
     num_gru_layers: int = 2
     # Compute dtype for conv/GRU matmuls; params are kept in float32.
     compute_dtype: str = "float32"
+    # pack4 conv blocks where geometry allows (conv1 in the default arch):
+    # the 2x2 pool window packs into output channels, filling the MXU's 128
+    # lanes and shrinking the pre-pool HBM footprint 4x. Exact same math.
+    packed_conv: bool = False
     # Run the GRU recurrence with the fused Pallas kernel
     # (avsync.ops.pallas.gru): VMEM-resident state/weights + streamed DMA.
     # Forward uses the kernel; backward falls back to the scan VJP.

@@ -5,11 +5,10 @@ video and shift, score the aligned and shifted features, overlay the score as
 green text on each frame, optionally upscale 2x, and write
 `aligned_demo.*` / `misaligned_demo.*` with the (shifted) audio track.
 
-This environment has no moviepy/libx264 Python mux; frames are written with
-cv2.VideoWriter (mp4v/MJPG) and the shifted audio is saved as a sibling
-`.wav` (lossless). A C++ libav muxer can later combine them into one
-container; the demo's information content (scored, annotated, shifted) is
-identical.
+moviepy is absent here; the mux runs in the native ingest library instead
+(avsync/ingest/ingest.cpp `avs_mux_mp4`: libx264 + aac — the reference's
+exact artifact format). When the native library is unavailable the fallback
+writes cv2.VideoWriter video plus a sibling lossless `.wav`.
 """
 
 from __future__ import annotations
@@ -94,6 +93,7 @@ def export_demo(
     zero-fill-shifted audio (`build_shifted_audio_clip`, `:218-228`).
     """
     from avsync.data.video import save_wav
+    from avsync.ingest import native
 
     os.makedirs(out_dir, exist_ok=True)
     aligned = annotate_frames(
@@ -104,11 +104,22 @@ def export_demo(
         f"misaligned (shift {shift_frames:+d}) score={misaligned_score:.3f}",
         scale,
     )
+    shifted = (
+        audio_ref.shift_audio(audio, shift_frames, fps, sample_rate)
+        if audio.size
+        else audio
+    )
+    if native.available():
+        # one-container artifacts, audio embedded — full reference parity
+        p1 = os.path.join(out_dir, "aligned_demo.mp4")
+        p2 = os.path.join(out_dir, "misaligned_demo.mp4")
+        native.mux_mp4(p1, aligned, fps, audio, sample_rate)
+        native.mux_mp4(p2, mis, fps, shifted, sample_rate)
+        return p1, p2
     p1 = write_video(os.path.join(out_dir, "aligned_demo.mp4"), aligned, fps)
     p2 = write_video(os.path.join(out_dir, "misaligned_demo.mp4"), mis, fps)
     if audio.size:
         save_wav(os.path.join(out_dir, "aligned_demo.wav"), audio, sample_rate)
-        shifted = audio_ref.shift_audio(audio, shift_frames, fps, sample_rate)
         save_wav(
             os.path.join(out_dir, "misaligned_demo.wav"), shifted, sample_rate
         )

@@ -371,6 +371,169 @@ void avs_release_batch(void** handles, int n) {
   delete[] handles;
 }
 
+// ---------------------------------------------------------------------------
+// Demo muxer: BGR frames + mono f32 audio -> .mp4 (libx264 + aac), the exact
+// artifact the reference writes with moviepy
+// (misalignment_detection_demo.py:231-237: write_videofile codec='libx264',
+// audio_codec='aac'). moviepy is absent here; libavcodec carries both
+// encoders, so the mux is one native call.
+// ---------------------------------------------------------------------------
+
+int avs_mux_mp4(const char* path, const uint8_t* frames, int n_frames,
+                int height, int width, double fps, const float* audio,
+                long long n_samples, int sample_rate, char* err,
+                int err_len) {
+  auto fail = [&](const char* msg) {
+    if (err && err_len > 0) {
+      std::strncpy(err, msg, (size_t)err_len - 1);
+      err[err_len - 1] = 0;
+    }
+    return -1;
+  };
+  // yuv420p requires even dimensions; crop a trailing row/col if needed
+  int W = width & ~1, H = height & ~1;
+  if (W <= 0 || H <= 0 || n_frames <= 0) return fail("empty video");
+
+  AVFormatContext* oc = nullptr;
+  if (avformat_alloc_output_context2(&oc, nullptr, nullptr, path) < 0 || !oc)
+    return fail("cannot allocate mp4 muxer");
+
+  // --- video stream (libx264, yuv420p) ---------------------------------
+  const AVCodec* vcodec = avcodec_find_encoder_by_name("libx264");
+  if (!vcodec) vcodec = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+  if (!vcodec) return fail("no h264/mpeg4 encoder");
+  AVStream* vst = avformat_new_stream(oc, nullptr);
+  AVCodecContext* vctx = avcodec_alloc_context3(vcodec);
+  vctx->width = W;
+  vctx->height = H;
+  vctx->pix_fmt = AV_PIX_FMT_YUV420P;
+  vctx->time_base = av_inv_q(av_d2q(fps, 100000));
+  vctx->framerate = av_d2q(fps, 100000);
+  vctx->gop_size = 12;
+  // no B-frames: reordering cost one trailing frame through some demuxers,
+  // and 3-second demo clips gain nothing from them
+  vctx->max_b_frames = 0;
+  if (oc->oformat->flags & AVFMT_GLOBALHEADER)
+    vctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  av_opt_set(vctx->priv_data, "preset", "veryfast", 0);
+  av_opt_set(vctx->priv_data, "crf", "20", 0);
+  if (avcodec_open2(vctx, vcodec, nullptr) < 0) {
+    avcodec_free_context(&vctx);
+    avformat_free_context(oc);
+    return fail("cannot open video encoder");
+  }
+  avcodec_parameters_from_context(vst->codecpar, vctx);
+  vst->time_base = vctx->time_base;
+
+  // --- audio stream (aac, fltp mono) ------------------------------------
+  const AVCodec* acodec = nullptr;
+  AVStream* ast = nullptr;
+  AVCodecContext* actx = nullptr;
+  bool have_audio = audio != nullptr && n_samples > 0 && sample_rate > 0;
+  if (have_audio) {
+    acodec = avcodec_find_encoder_by_name("aac");
+    if (!acodec) acodec = avcodec_find_encoder(AV_CODEC_ID_AAC);
+  }
+  if (have_audio && acodec) {
+    ast = avformat_new_stream(oc, nullptr);
+    actx = avcodec_alloc_context3(acodec);
+    actx->sample_fmt = AV_SAMPLE_FMT_FLTP;
+    actx->sample_rate = sample_rate;
+    av_channel_layout_default(&actx->ch_layout, 1);
+    actx->bit_rate = 128000;
+    actx->time_base = (AVRational){1, sample_rate};
+    if (oc->oformat->flags & AVFMT_GLOBALHEADER)
+      actx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    if (avcodec_open2(actx, acodec, nullptr) < 0) {
+      avcodec_free_context(&actx);
+      actx = nullptr;
+      ast = nullptr;
+    } else {
+      avcodec_parameters_from_context(ast->codecpar, actx);
+      ast->time_base = actx->time_base;
+    }
+  }
+
+  if (!(oc->oformat->flags & AVFMT_NOFILE) &&
+      avio_open(&oc->pb, path, AVIO_FLAG_WRITE) < 0) {
+    avcodec_free_context(&vctx);
+    if (actx) avcodec_free_context(&actx);
+    avformat_free_context(oc);
+    return fail("cannot open output file");
+  }
+  if (avformat_write_header(oc, nullptr) < 0) return fail("header write failed");
+
+  AVPacket* pkt = av_packet_alloc();
+  auto drain = [&](AVCodecContext* ctx, AVStream* st, int64_t dur) {
+    while (avcodec_receive_packet(ctx, pkt) == 0) {
+      // an unset duration leaves the mp4's last sample 0-length, which
+      // ffmpeg-family demuxers then drop on decode — set it explicitly
+      if (pkt->duration == 0) pkt->duration = dur;
+      av_packet_rescale_ts(pkt, ctx->time_base, st->time_base);
+      pkt->stream_index = st->index;
+      av_interleaved_write_frame(oc, pkt);
+      av_packet_unref(pkt);
+    }
+  };
+
+  // encode video: BGR24 -> yuv420p
+  SwsContext* sws = sws_getContext(W, H, AV_PIX_FMT_BGR24, W, H,
+                                   AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr,
+                                   nullptr, nullptr);
+  AVFrame* vf = av_frame_alloc();
+  vf->format = AV_PIX_FMT_YUV420P;
+  vf->width = W;
+  vf->height = H;
+  av_frame_get_buffer(vf, 0);
+  for (int i = 0; i < n_frames; ++i) {
+    av_frame_make_writable(vf);
+    const uint8_t* src[1] = {frames + (size_t)i * height * width * 3};
+    int src_lin[1] = {width * 3};
+    sws_scale(sws, src, src_lin, 0, H, vf->data, vf->linesize);
+    vf->pts = i;
+    avcodec_send_frame(vctx, vf);
+    drain(vctx, vst, 1);
+  }
+  avcodec_send_frame(vctx, nullptr);
+  drain(vctx, vst, 1);
+  sws_freeContext(sws);
+  av_frame_free(&vf);
+
+  // encode audio in encoder-frame-size chunks (AAC: 1024), zero-padded tail
+  if (actx) {
+    int fsz = actx->frame_size > 0 ? actx->frame_size : 1024;
+    AVFrame* af = av_frame_alloc();
+    af->format = AV_SAMPLE_FMT_FLTP;
+    av_channel_layout_default(&af->ch_layout, 1);
+    af->sample_rate = sample_rate;
+    af->nb_samples = fsz;
+    av_frame_get_buffer(af, 0);
+    long long pos = 0;
+    while (pos < n_samples) {
+      av_frame_make_writable(af);
+      int take = (int)((n_samples - pos) < fsz ? (n_samples - pos) : fsz);
+      float* dst = (float*)af->data[0];
+      std::memcpy(dst, audio + pos, sizeof(float) * take);
+      if (take < fsz) std::memset(dst + take, 0, sizeof(float) * (fsz - take));
+      af->pts = pos;
+      avcodec_send_frame(actx, af);
+      drain(actx, ast, actx->frame_size > 0 ? actx->frame_size : 1024);
+      pos += take;
+    }
+    avcodec_send_frame(actx, nullptr);
+    drain(actx, ast, actx->frame_size > 0 ? actx->frame_size : 1024);
+    av_frame_free(&af);
+  }
+
+  av_write_trailer(oc);
+  av_packet_free(&pkt);
+  avcodec_free_context(&vctx);
+  if (actx) avcodec_free_context(&actx);
+  if (!(oc->oformat->flags & AVFMT_NOFILE)) avio_closep(&oc->pb);
+  avformat_free_context(oc);
+  return 0;
+}
+
 const char* avs_error(void* h) {
   auto* d = (Decoded*)h;
   return d->error[0] ? d->error : nullptr;

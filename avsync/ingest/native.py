@@ -79,12 +79,53 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
+        lib.avs_mux_mp4.restype = ctypes.c_int
+        lib.avs_mux_mp4.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_longlong, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def mux_mp4(
+    path: str,
+    frames: np.ndarray,
+    fps: float,
+    audio: Optional[np.ndarray] = None,
+    sample_rate: int = 0,
+) -> None:
+    """Encode (T, H, W, 3) BGR uint8 frames (+ optional mono f32 audio) to an
+    .mp4 with libx264 + aac — the reference demo's exact artifact format
+    (`misalignment_detection_demo.py:231-237`)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native ingest library unavailable")
+    frames = np.ascontiguousarray(frames, np.uint8)
+    assert frames.ndim == 4 and frames.shape[-1] == 3, frames.shape
+    if audio is None or audio.size == 0:
+        a_ptr, n_samples, sample_rate = (
+            ctypes.POINTER(ctypes.c_float)(), 0, 0,
+        )
+    else:
+        audio = np.ascontiguousarray(audio, np.float32)
+        a_ptr = audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        n_samples = audio.size
+    err = ctypes.create_string_buffer(256)
+    rc = lib.avs_mux_mp4(
+        path.encode(),
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        frames.shape[0], frames.shape[1], frames.shape[2],
+        float(fps), a_ptr, n_samples, sample_rate, err, 256,
+    )
+    if rc != 0:
+        raise RuntimeError(f"mux failed: {err.value.decode()}")
 
 
 def decode(

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from avsync.config import ModelConfig
-from avsync.ops.conv import max_pool3d
+from avsync.ops.conv import conv3d, conv3d_pack4, max_pool3d, pool_packed4
 from avsync.ops.gru import GRUParams, gru_scan
 
 
@@ -68,6 +68,50 @@ class BiGRU(nn.Module):
         return jnp.concatenate([hf, hb], axis=-1)
 
 
+class ConvPoolBlock(nn.Module):
+    """One Conv3D -> ReLU -> MaxPool3D(1,2,2) block.
+
+    Param layout (kernel: (kt,kh,kw,Cin,Cout), bias) and initialization match
+    nn.Conv exactly, so checkpoints are interchangeable. When `packed` is on
+    and the geometry allows (even H/W, odd kernels, 4*Cout <= 128 lanes), the
+    block computes the pack4 formulation (avsync.ops.conv): the 2x2 pool
+    window is packed into output channels so the conv fills the MXU lanes and
+    the un-pooled activation is 4x smaller in HBM. Identical math either way.
+    """
+
+    features: int
+    kernel_size: tuple
+    compute_dtype: Optional[str] = None
+    packed: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.kernel_size, cin, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else x.dtype
+        kt, kh, kw = self.kernel_size
+        packable = (
+            self.packed
+            and x.shape[2] % 2 == 0
+            and x.shape[3] % 2 == 0
+            and kh % 2 == 1
+            and kw % 2 == 1
+            and 4 * self.features <= 128
+        )
+        if packable:
+            out = conv3d_pack4(
+                x, kernel, bias, compute_dtype=dt, preferred_dtype=dt
+            )
+            return pool_packed4(nn.relu(out))
+        out = conv3d(x, kernel, bias, compute_dtype=dt, preferred_dtype=dt)
+        return max_pool3d(nn.relu(out))
+
+
 class LipNet(nn.Module):
     """LipNet: (B, T, H, W, 1) grayscale clips -> (B, T, vocab) log-probs."""
 
@@ -78,12 +122,11 @@ class LipNet(nn.Module):
         dt = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
         self._dt = dt
         self.convs = [
-            nn.Conv(
+            ConvPoolBlock(
                 features=ch,
-                kernel_size=kern,
-                padding="SAME",
-                dtype=dt,
-                param_dtype=jnp.float32,
+                kernel_size=tuple(kern),
+                compute_dtype=cfg.compute_dtype,
+                packed=cfg.packed_conv,
                 name=f"conv{i + 1}",
             )
             for i, (ch, kern) in enumerate(zip(cfg.conv_channels, cfg.conv_kernels))
@@ -121,9 +164,7 @@ class LipNet(nn.Module):
         if self._dt is not None and x.dtype != self._dt:
             x = x.astype(self._dt)
         for conv, drop in zip(self.convs, self.conv_dropouts):
-            x = conv(x)
-            x = nn.relu(x)
-            x = max_pool3d(x)
+            x = conv(x)  # Conv3D + ReLU + MaxPool3D, possibly pack4-fused
             x = drop(x, deterministic=not train)
         B, T = x.shape[0], x.shape[1]
         return x.reshape(B, T, -1)

@@ -25,10 +25,16 @@ def conv3d(
     padding: str | Sequence[Tuple[int, int]] = "SAME",
     strides: Tuple[int, int, int] = (1, 1, 1),
     compute_dtype=None,
+    preferred_dtype=jnp.float32,
 ) -> jax.Array:
     """NDHWC conv3d. `padding='SAME'` with stride 1 matches torch's symmetric
     padding (k-1)//2 for odd kernels, which is what LipNet uses
     (`model.py:22-30`: kernels (3,5,5)/(3,3,3) with padding (1,2,2)/(1,1,1)).
+
+    preferred_dtype is the conv OUTPUT dtype (MXU accumulation is f32 either
+    way). On TPU a post-conv `.astype(bf16)` does NOT fuse into the conv —
+    the f32 activation round-trips HBM — so bf16 consumers must ask for bf16
+    here, which is also what flax nn.Conv(dtype=bf16) emits.
     """
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -39,7 +45,7 @@ def conv3d(
         window_strides=strides,
         padding=padding,
         dimension_numbers=DIMENSION_NUMBERS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred_dtype,
     )
     if bias is not None:
         out = out + bias.astype(out.dtype)
@@ -68,6 +74,7 @@ def conv3d_pack2(
     kernel: jax.Array,
     bias: jax.Array | None = None,
     compute_dtype=None,
+    preferred_dtype=jnp.float32,
 ) -> jax.Array:
     """SAME stride-1 conv3d with W-pairs packed into channels.
 
@@ -91,7 +98,7 @@ def conv3d_pack2(
         window_strides=(1, 1, 2),
         padding=((pt, pt), (ph, ph), (pw, pw)),
         dimension_numbers=DIMENSION_NUMBERS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred_dtype,
     )
     if bias is not None:
         b = bias.astype(out.dtype)
@@ -137,6 +144,7 @@ def conv3d_pack4(
     kernel: jax.Array,
     bias: jax.Array | None = None,
     compute_dtype=None,
+    preferred_dtype=jnp.float32,
 ) -> jax.Array:
     """SAME stride-1 conv3d with 2x2 (H, W) output tiles packed into channels.
 
@@ -160,7 +168,7 @@ def conv3d_pack4(
         window_strides=(1, 2, 2),
         padding=((pt, pt), (ph, ph), (pw, pw)),
         dimension_numbers=DIMENSION_NUMBERS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred_dtype,
     )
     if bias is not None:
         b = bias.astype(out.dtype)

@@ -58,14 +58,20 @@ def main():
     rng = np.random.default_rng(0)
     DT = jnp.bfloat16
 
+    # bf16 conv OUTPUT (preferred_dtype) — a separate .astype does not fuse
+    # into TPU convolutions, so the f32 activation would round-trip HBM
     def block_std(x, k, b):
-        return max_pool3d(jax.nn.relu(conv3d(x, k, b).astype(DT)))
+        return max_pool3d(jax.nn.relu(conv3d(x, k, b, preferred_dtype=DT)))
 
     def block_p2(x, k, b):
-        return pool_packed2(jax.nn.relu(conv3d_pack2(x, k, b).astype(DT)))
+        return pool_packed2(
+            jax.nn.relu(conv3d_pack2(x, k, b, preferred_dtype=DT))
+        )
 
     def block_p4(x, k, b):
-        return pool_packed4(jax.nn.relu(conv3d_pack4(x, k, b).astype(DT)))
+        return pool_packed4(
+            jax.nn.relu(conv3d_pack4(x, k, b, preferred_dtype=DT))
+        )
 
     # --- numerical equivalence (small shapes, f32) -----------------------
     xs32 = jnp.asarray(rng.random((2, 4, 10, 12, 3)).astype(np.float32))
@@ -119,16 +125,11 @@ def main():
         ("pack4,std,std", [block_p4, block_std, block_std]),
         ("pack4,pack4,std", [block_p4, block_p4, block_std]),
     ):
-        g = jax.jit(jax.grad(lambda ks, x: stack(fns, ks, x), argnums=0))
+        g = jax.jit(jax.grad(
+            lambda ks, x: stack(fns, ks, x), argnums=0))
         t = timeit(g, ks, x0, n=3)
         print(json.dumps({"stack_fwd_bwd": label, "ms": round(t * 1e3, 2)}),
               flush=True)
-
-    # fwd-only stacks for the same variants
-    for label, fns in (
-        ("std,std,std", [block_std] * 3),
-        ("pack4,std,std", [block_p4, block_std, block_std]),
-    ):
         f = jax.jit(lambda ks, x: stack(fns, ks, x))
         t = timeit(f, ks, x0, n=5)
         print(json.dumps({"stack_fwd": label, "ms": round(t * 1e3, 2)}),

@@ -1,0 +1,373 @@
+"""Measure the five BASELINE.json scenarios end-to-end and publish results.
+
+No GRID corpus exists in this environment, so every scenario runs on the
+deterministic synthetic corpus (avsync.data.synthetic) — the SAME corpus for
+the reference PyTorch stack (torch CPU, /root/reference) and for avsync
+(real TPU), so the WER numbers are directly comparable. librosa/dlib are
+absent, so the reference's misalignment-detector scenarios cannot execute
+here; those record avsync-only numbers with provenance notes.
+
+Scenarios (BASELINE.json `configs`):
+  1. single-clip LipNet inference (greedy CTC)
+  2. batched preprocessing (mouth ROI + MFCC) over all clips
+  3. sliding +/-shift AUROC sweep vs the trained detector
+  4. LipNet CTC training, batch 8 (20 epochs here: the reference main.py
+     hardcodes 20) -> WER on the held-out speaker
+  5. misalignment-detector training on the mesh -> test AUROC
+
+Run: python scripts/run_baselines.py [--skip-reference]
+Writes `published` into BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORK = "/tmp/avsync_baselines"
+CORPUS = os.path.join(WORK, "corpus")  # preprocessed 75x50x100 clips
+FULLFRAME = os.path.join(WORK, "fullframe")  # 200x400 raw frames for ROI
+REF_DIR = os.path.join(WORK, "reference_run")
+AV_DIR = os.path.join(WORK, "avsync_run")
+
+N_SPEAKERS, CLIPS = 3, 8
+EPOCHS = 20  # reference main.py hardcodes epochs=20 (`main.py:29`)
+
+
+def ensure_corpora():
+    from avsync.data import synthetic
+
+    if not os.path.isdir(CORPUS):
+        synthetic.write_corpus(
+            CORPUS, n_speakers=N_SPEAKERS, clips_per_speaker=CLIPS,
+            preprocessed=True, seed=42,
+        )
+    if not os.path.isdir(FULLFRAME):
+        synthetic.write_corpus(
+            FULLFRAME, n_speakers=N_SPEAKERS, clips_per_speaker=CLIPS,
+            preprocessed=False, seed=43,
+        )
+
+
+def run_reference_training():
+    """python /root/reference/main.py on the synthetic corpus (torch CPU).
+
+    Runs in a scratch cwd with ./data -> corpus; the reference writes its
+    checkpoints (lipnet_final.pth etc.) into that cwd.
+    """
+    final = os.path.join(REF_DIR, "lipnet_final.pth")
+    if os.path.exists(final):
+        return {"note": "reusing existing reference run"}
+    os.makedirs(REF_DIR, exist_ok=True)
+    link = os.path.join(REF_DIR, "data")
+    if not os.path.exists(link):
+        os.symlink(CORPUS, link)
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # keep the TPU tunnel out of it
+    env["JAX_PLATFORMS"] = "cpu"
+    env["MPLBACKEND"] = "Agg"
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "/root/reference/main.py"],
+        cwd=REF_DIR, env=env, capture_output=True, text=True,
+        timeout=7200,
+    )
+    wall = time.time() - t0
+    if proc.returncode != 0 or not os.path.exists(final):
+        raise RuntimeError(
+            f"reference run failed rc={proc.returncode}:\n{proc.stderr[-2000:]}"
+        )
+    n_train = 2 * CLIPS * EPOCHS  # 2 train speakers
+    return {
+        "wall_seconds": round(wall, 1),
+        "train_clips_per_sec": round(n_train / wall, 3),
+        "checkpoint": final,
+    }
+
+
+def cli(args):
+    from avsync.cli import main
+
+    rc = main(args)
+    assert rc == 0, f"avsync cli failed: {args}"
+
+
+def scenario_4_training(results, skip_reference):
+    """LipNet CTC training, batch 8, both stacks, same corpus + split."""
+    os.makedirs(AV_DIR, exist_ok=True)
+    ckpt_dir = os.path.join(AV_DIR, "lipnet_ckpts")
+    pth = os.path.join(AV_DIR, "lipnet_final.pth")
+    t0 = time.time()
+    cli([
+        "train", "--data_path", CORPUS, "--epochs", str(EPOCHS),
+        "--batch_size", "8", "--checkpoint_dir", ckpt_dir,
+        "--export_pth", pth,
+    ])
+    av_wall = time.time() - t0
+    av_results = json.load(open(os.path.join(ckpt_dir, "test_results.json")))
+    entry = {
+        "scenario": "lipnet_training_batch8",
+        "corpus": f"synthetic {N_SPEAKERS}x{CLIPS} clips, 75x50x100",
+        "epochs": EPOCHS,
+        "avsync": {
+            "hardware": "1x TPU v5e chip (axon)",
+            "wall_seconds": round(av_wall, 1),
+            "test_wer": av_results["wer"],
+            "test_cer": av_results["cer"],
+        },
+    }
+    if not skip_reference:
+        ref = run_reference_training()
+        entry["reference"] = {
+            "hardware": "host CPU (torch), 1 core",
+            **{k: v for k, v in ref.items() if k != "checkpoint"},
+        }
+        # score the reference-trained weights with the same evaluator
+        ref_json = os.path.join(AV_DIR, "ref_test_results.json")
+        cli([
+            "test", "--data_path", CORPUS,
+            "--checkpoint", os.path.join(REF_DIR, "lipnet_final.pth"),
+            "--batch_size", "8", "--output", ref_json,
+        ])
+        rj = json.load(open(ref_json))
+        entry["reference"]["test_wer"] = rj["wer"]
+        entry["reference"]["test_cer"] = rj["cer"]
+    results["lipnet_training"] = entry
+    print(json.dumps(entry), flush=True)
+    return pth
+
+
+def scenario_1_single_clip(results, pth, skip_reference):
+    """Single-clip inference: avsync LipReader (TPU, warm) vs torch CPU."""
+    from avsync.config import AvsyncConfig
+    from avsync.predictor import LipReader
+
+    clip = os.path.join(CORPUS, "s3", "clip00.npy")
+    reader = LipReader(pth, AvsyncConfig())
+    txt = reader.predict(clip)  # warm-up: decode + jit compile
+    t0 = time.time()
+    n = 20
+    for _ in range(n):
+        txt = reader.predict(clip)
+    av_ms = (time.time() - t0) / n * 1e3
+    entry = {
+        "scenario": "single_clip_inference",
+        "clip": "75 frames, 50x100",
+        "avsync": {"hardware": "1x TPU v5e", "ms_per_clip": round(av_ms, 2),
+                   "transcript": txt},
+    }
+    if not skip_reference:
+        import torch
+
+        sys.path.insert(0, "/root/reference")
+        from model import LipNet as TorchLipNet  # noqa: E402
+
+        m = TorchLipNet(39)
+        sd = torch.load(pth, map_location="cpu")
+        m.load_state_dict(sd)
+        m.eval()
+        video = np.load(clip).astype(np.float32) / 255.0
+        x = torch.from_numpy(video[None, None])  # (1, 1, T, H, W)
+        with torch.no_grad():
+            m(x)
+            t0 = time.time()
+            for _ in range(3):
+                out = m(x)
+            ref_ms = (time.time() - t0) / 3 * 1e3
+        entry["reference"] = {
+            "hardware": "host CPU (torch)", "ms_per_clip": round(ref_ms, 2),
+        }
+        entry["speedup"] = round(ref_ms / av_ms, 1)
+    results["single_clip_inference"] = entry
+    print(json.dumps(entry), flush=True)
+
+
+def scenario_2_preprocessing(results, skip_reference):
+    """Batched mouth-ROI preprocessing + MFCC over all full-frame clips."""
+    import jax
+    import jax.numpy as jnp
+
+    from avsync.config import AvsyncConfig, DataConfig
+    from avsync.data import GridDataSource, LipNetBatcher
+    from avsync.data.video import load_audio_for_video
+    from avsync.ops import audio as audiolib
+    from avsync.ops import audio_ref
+
+    cfg = AvsyncConfig(
+        data=DataConfig(data_path=FULLFRAME, batch_size=8, roi_mode="model")
+    )
+    src = GridDataSource(FULLFRAME)
+    batcher = LipNetBatcher(src, cfg)
+    n = len(src)
+
+    def run_epoch():
+        count = 0
+        for b in batcher.epoch(shuffle=False, drop_last=False):
+            jax.block_until_ready(b["video"])
+            count += int(b["valid"])
+        # honest tunnel sync
+        float(np.asarray(b["video"]).ravel()[0])
+        return count
+
+    run_epoch()  # warm
+    t0 = time.time()
+    count = run_epoch()
+    vid_wall = time.time() - t0
+
+    # audio MFCC stats, batched on device + parity vs the f64 oracle
+    auds = []
+    for s in src.samples:
+        a, sr = load_audio_for_video(s.video_path, cfg.audio.sample_rate)
+        auds.append(a)
+    L = max(len(a) for a in auds)
+    batch = np.zeros((n, L), np.float32)
+    lens = np.zeros((n,), np.int32)
+    for i, a in enumerate(auds):
+        batch[i, : len(a)] = a
+        lens[i] = len(a)
+    stats_fn = jax.jit(
+        lambda a, l: audiolib.audio_stats(a, l, cfg.audio)
+    )
+    out = stats_fn(jnp.asarray(batch), jnp.asarray(lens))
+    float(np.asarray(out).ravel()[0])
+    t0 = time.time()
+    out = stats_fn(jnp.asarray(batch), jnp.asarray(lens))
+    got = np.asarray(out)
+    mfcc_wall = time.time() - t0
+    oracle = audio_ref.audio_stats(
+        auds[0].astype(np.float64), cfg.audio.sample_rate, cfg.audio.n_mfcc
+    )
+    rel = np.abs(got[0] - oracle) / np.maximum(np.abs(oracle), 1e-9)
+    entry = {
+        "scenario": "batched_preprocessing",
+        "clips": n,
+        "avsync": {
+            "hardware": "1x TPU v5e + host decode (1 CPU core)",
+            "video_roi_clips_per_sec": round(count / vid_wall, 2),
+            "roi_mode": "model (learned localizer)",
+            "mfcc_batch_ms": round(mfcc_wall * 1e3, 2),
+            "mfcc_max_rel_err_vs_f64_oracle": float(rel.max()),
+        },
+        "note": "librosa absent: MFCC parity is vs the in-repo float64 "
+                "oracle (librosa-0.10 semantics), bound 2e-5",
+    }
+    if not skip_reference:
+        sys.path.insert(0, "/root/reference")
+        import importlib
+
+        import dataset as ref_dataset  # noqa: E402
+
+        importlib.reload(ref_dataset)
+        ds = ref_dataset.GridDataset(
+            FULLFRAME, [f"s{i+1}" for i in range(N_SPEAKERS)]
+        )
+        t0 = time.time()
+        for vp, _ in ds.samples:
+            ds.process_video(vp)
+        ref_wall = time.time() - t0
+        entry["reference"] = {
+            "hardware": "host CPU (cv2/numpy per-frame loop)",
+            "video_roi_clips_per_sec": round(len(ds) / ref_wall, 2),
+        }
+        entry["video_speedup"] = round(
+            (count / vid_wall) / (len(ds) / ref_wall), 1
+        )
+    results["batched_preprocessing"] = entry
+    print(json.dumps(entry), flush=True)
+
+
+def scenario_5_detector_training(results, pth):
+    det = os.path.join(AV_DIR, "detector.pth")
+    log_dir = os.path.join(AV_DIR, "det_logs")
+    t0 = time.time()
+    cli([
+        "misalign-train", "--data_path", CORPUS, "--checkpoint", pth,
+        "--detector_checkpoint", det, "--epochs", "20",
+        "--max_shift_frames", "15", "--log_dir", log_dir,
+    ])
+    wall = time.time() - t0
+    log_run = sorted(os.listdir(log_dir))[-1]
+    txt = open(os.path.join(log_dir, log_run, "training.log")).read()
+    test_auc = None
+    for line in txt.splitlines():
+        if line.strip().startswith("Test AUC:"):
+            test_auc = float(line.split(":")[-1])
+    results["detector_training"] = {
+        "scenario": "misalignment_detector_training",
+        "avsync": {
+            "hardware": "1x TPU v5e (mesh (1,1); dp-scalable, see "
+                        "tests/test_train_parallel.py for the 8-way mesh)",
+            "wall_seconds": round(wall, 1),
+            "test_auroc": test_auc,
+        },
+        "note": "reference detector training needs librosa (absent) — "
+                "not runnable in this environment",
+    }
+    print(json.dumps(results["detector_training"]), flush=True)
+    return det
+
+
+def scenario_3_shift_sweep(results, pth, det):
+    out_json = os.path.join(AV_DIR, "sweep.json")
+    t0 = time.time()
+    cli([
+        "misalign-eval", "--data_path", CORPUS, "--checkpoint", pth,
+        "--detector_checkpoint", det, "--min_shift", "5",
+        "--max_shift", "20", "--output", out_json,
+    ])
+    wall = time.time() - t0
+    sweep = json.load(open(out_json))
+    results["shift_sweep_auroc"] = {
+        "scenario": "sliding_shift_auroc",
+        "avsync": {
+            "hardware": "1x TPU v5e",
+            "wall_seconds": round(wall, 1),
+            "overall_auroc": sweep["overall_auroc"],
+            "auroc_by_shift": sweep["auroc_by_shift"],
+            "num_clips": sweep["num_clips"],
+        },
+        "note": "reference side needs librosa (absent)",
+    }
+    print(json.dumps(results["shift_sweep_auroc"]), flush=True)
+
+
+def main():
+    skip_reference = "--skip-reference" in sys.argv
+    ensure_corpora()
+    results = {
+        "provenance": {
+            "corpus": "synthetic GRID-style corpus (avsync.data.synthetic), "
+                      f"{N_SPEAKERS} speakers x {CLIPS} clips, deterministic "
+                      "seed 42 — no real GRID corpus exists in this "
+                      "environment",
+            "avsync_hardware": "1x TPU v5e via axon tunnel",
+            "reference_hardware": "host CPU, single core, torch "
+                                  "(reference code at /root/reference)",
+            "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+    }
+    pth = scenario_4_training(results, skip_reference)
+    scenario_1_single_clip(results, pth, skip_reference)
+    scenario_2_preprocessing(results, skip_reference)
+    det = scenario_5_detector_training(results, pth)
+    scenario_3_shift_sweep(results, pth, det)
+
+    baseline_path = os.path.join(REPO, "BASELINE.json")
+    doc = json.load(open(baseline_path))
+    doc["published"] = results
+    with open(baseline_path, "w") as f:
+        json.dump(doc, f, indent=2)
+    print(f"published -> {baseline_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -226,10 +226,25 @@ class TestMisalignFlow:
         assert "aligned=" in txt
         produced = []
         for sp in os.listdir(out_dir):
-            produced += os.listdir(os.path.join(out_dir, sp))
-        assert any(f.startswith("aligned_demo") for f in produced)
-        assert any(f.startswith("misaligned_demo") for f in produced)
-        assert any(f.endswith(".wav") for f in produced)
+            produced += [
+                (sp, f) for f in os.listdir(os.path.join(out_dir, sp))
+            ]
+        names = [f for _, f in produced]
+        assert any(f.startswith("aligned_demo") for f in names)
+        assert any(f.startswith("misaligned_demo") for f in names)
+        from avsync.ingest import native
+
+        if native.available():
+            # native libx264+aac mux: audio embedded in the mp4 itself
+            sp, f = next(
+                (s, f) for s, f in produced if f == "misaligned_demo.mp4"
+            )
+            v, fps, a, sr = native.decode(
+                os.path.join(out_dir, sp, f), 0, 16000
+            )
+            assert v.shape[0] > 0 and a.size > 0 and sr == 16000
+        else:
+            assert any(f.endswith(".wav") for f in names)
 
 
 class TestMisalignEval:

@@ -159,3 +159,42 @@ class TestRoiDecode:
         r1 = native.decode_batch_roi([path], (0.4, 0.9, 0.1, 0.9), (16, 24))
         r2 = native.decode_batch_roi([path], (0.4, 0.9, 0.1, 0.9), (16, 24), n_threads=1)
         np.testing.assert_array_equal(r1[0][0], r2[0][0])
+
+
+class TestMuxer:
+    """avs_mux_mp4: libx264+aac mp4 artifacts (the reference demo's format,
+    `misalignment_detection_demo.py:231-237`), round-tripped through the
+    decoder."""
+
+    def test_mux_roundtrip_video_audio(self, tmp_path):
+        from avsync.ingest import native
+
+        if not native.available():
+            pytest.skip("native ingest library unavailable")
+        rng = np.random.default_rng(0)
+        T, sr = 25, 16000
+        frames = (rng.random((T, 50, 100, 3)) * 255).astype(np.uint8)
+        t = np.arange(int(sr * T / 25.0)) / sr
+        audio = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        path = str(tmp_path / "demo.mp4")
+        native.mux_mp4(path, frames, 25.0, audio, sr)
+        v, fps, a, got_sr = native.decode(path, 0, sr)
+        assert v.shape == (T, 50, 100)  # exact frame count preserved
+        assert fps == pytest.approx(25.0)
+        assert got_sr == sr
+        # AAC is lossy + padded; the tone must survive with full duration
+        assert a.size >= audio.size
+        assert np.abs(a[: audio.size]).max() > 0.2
+
+    def test_mux_video_only_and_odd_dims(self, tmp_path):
+        from avsync.ingest import native
+
+        if not native.available():
+            pytest.skip("native ingest library unavailable")
+        rng = np.random.default_rng(1)
+        frames = (rng.random((6, 51, 101, 3)) * 255).astype(np.uint8)
+        path = str(tmp_path / "v.mp4")
+        native.mux_mp4(path, frames, 25.0)  # odd dims -> cropped to even
+        v, fps, a, _ = native.decode(path, 0, 0)
+        assert v.shape == (6, 50, 100)
+        assert a.size == 0

@@ -158,6 +158,33 @@ class TestLipNetParity:
         assert n_ours == n_torch  # ~12.5M
 
 
+class TestPackedConvModel:
+    def test_packed_model_matches_standard(self):
+        """packed_conv=True (pack4 conv blocks where geometry allows) is the
+        same function: identical params tree, identical outputs."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from avsync.config import ModelConfig
+        from avsync.models import LipNet
+
+        cfg = ModelConfig(hidden_dim=8, conv_channels=(2, 3, 4))
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((2, 6, 16, 32, 1)).astype(np.float32))
+        std = LipNet(cfg)
+        params = std.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+        packed = LipNet(dataclasses.replace(cfg, packed_conv=True))
+        p2 = packed.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+        assert jax.tree.structure(params) == jax.tree.structure(p2)
+        ref = std.apply({"params": params}, x)
+        got = packed.apply({"params": params}, x)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4
+        )
+
+
 class TorchDetector(nn.Module):
     """Reference detector spec (`misalignment_detection_train.py:237-250`)."""
 
