@@ -39,22 +39,35 @@ def make_clip(
     sample_rate: int = 16000,
     mouth_center: Tuple[float, float] | None = None,
     mouth_scale: float = 1.0,
+    phrase: str | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """One audio-visual clip: (T, H, W) uint8 video + float32 audio.
 
-    A bright "mouth" ellipse opens/closes with a random per-clip envelope;
-    the audio is a tone amplitude-modulated by the SAME envelope, so
-    visual/audio statistics are correlated when aligned and decorrelated
-    when the audio is shifted (zeros swept in).
+    A bright "mouth" ellipse opens/closes with a per-clip envelope; the audio
+    is a tone amplitude-modulated by the SAME envelope, so visual/audio
+    statistics are correlated when aligned and decorrelated when the audio is
+    shifted (zeros swept in).
+
+    With `phrase` given, the envelope is DERIVED from the phrase's character
+    sequence (each character drives a distinct mouth-opening level over its
+    frames) — video -> text is then actually learnable, so lipreading
+    WER/CER on this corpus measures learning, not chance. Without it, the
+    envelope is a random sinusoid (the original behavior; same RNG stream).
 
     mouth_center (normalized (cy, cx), default lower-middle (0.75, 0.5)) and
-    mouth_scale vary the mouth geometry for localizer training; the default
-    arguments consume the same RNG stream as always.
+    mouth_scale vary the mouth geometry for localizer training.
     """
     t = np.arange(n_frames) / fps
-    f_env = rng.uniform(1.0, 3.0)
-    phase = rng.uniform(0, 2 * np.pi)
-    envelope = 0.5 + 0.5 * np.sin(2 * np.pi * f_env * t + phase)  # (T,)
+    if phrase is None:
+        f_env = rng.uniform(1.0, 3.0)
+        phase = rng.uniform(0, 2 * np.pi)
+        envelope = 0.5 + 0.5 * np.sin(2 * np.pi * f_env * t + phase)  # (T,)
+    else:
+        envelope = phrase_envelope(phrase, n_frames)
+        # tiny per-clip jitter so clips of the same phrase are not bit-equal
+        envelope = np.clip(
+            envelope + 0.03 * rng.standard_normal(n_frames), 0.0, 1.0
+        )
 
     yy, xx = np.mgrid[0:height, 0:width]
     ncy, ncx = mouth_center if mouth_center is not None else (0.75, 0.5)
@@ -74,11 +87,41 @@ def make_clip(
 
     n_samples = int(n_frames / fps * sample_rate)
     ta = np.arange(n_samples) / sample_rate
-    env_audio = 0.5 + 0.5 * np.sin(2 * np.pi * f_env * ta + phase)
+    if phrase is None:
+        env_audio = 0.5 + 0.5 * np.sin(2 * np.pi * f_env * ta + phase)
+    else:
+        env_audio = np.interp(ta * fps, np.arange(n_frames), envelope)
     tone = rng.uniform(200.0, 600.0)
     audio = (env_audio * np.sin(2 * np.pi * tone * ta)).astype(np.float32) * 0.7
     audio += 0.01 * rng.standard_normal(n_samples).astype(np.float32)
     return video, audio
+
+
+def phrase_envelope(phrase: str, n_frames: int) -> np.ndarray:
+    """Character-driven mouth-opening envelope, time-aligned with the .align
+    layout `_write_align` produces (sil 1/8 | words evenly spaced | sil).
+
+    Each character maps to a distinct opening level, held over its share of
+    the word's frames and lightly smoothed — so a video model can actually
+    read the transcript back out (the lipreading task is learnable, unlike a
+    random envelope)."""
+    env = np.full(n_frames, 0.05)
+    words = phrase.split()
+    sil = n_frames // 8
+    span = (n_frames - 2 * sil) // max(len(words), 1)
+    charset = "abcdefghijklmnopqrstuvwxyz0123456789"
+    t0 = sil
+    for w in words:
+        per = max(span // max(len(w), 1), 1)
+        for i, c in enumerate(w):
+            lo = t0 + i * per
+            hi = min(t0 + (i + 1) * per, n_frames) if i < len(w) - 1 else min(
+                t0 + span, n_frames
+            )
+            lvl = 0.2 + 0.75 * (max(charset.find(c), 0) / 35.0)
+            env[lo:hi] = lvl
+        t0 += span
+    return np.convolve(env, [0.25, 0.5, 0.25], mode="same")
 
 
 def mouth_box(
@@ -168,12 +211,16 @@ def write_corpus(
 
         for c in range(clips_per_speaker):
             name = f"clip{c:02d}"
-            if preprocessed:
-                video, audio = make_clip(rng, n_frames, height, width)
-            else:
-                video, audio = make_clip(rng, n_frames, height * 4, width * 4)
-            np.save(os.path.join(vdir, name + ".npy"), video)
             phrase = GRID_PHRASES[(s * clips_per_speaker + c) % len(GRID_PHRASES)]
+            if preprocessed:
+                video, audio = make_clip(
+                    rng, n_frames, height, width, phrase=phrase
+                )
+            else:
+                video, audio = make_clip(
+                    rng, n_frames, height * 4, width * 4, phrase=phrase
+                )
+            np.save(os.path.join(vdir, name + ".npy"), video)
             _write_align(os.path.join(adir, name + ".align"), phrase, n_frames)
             if with_audio:
                 save_wav(os.path.join(vdir, name + ".wav"), audio, 16000)

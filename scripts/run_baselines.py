@@ -141,8 +141,43 @@ def scenario_4_training(results, skip_reference):
         rj = json.load(open(ref_json))
         entry["reference"]["test_wer"] = rj["wer"]
         entry["reference"]["test_cer"] = rj["cer"]
+        entry["note"] = (
+            "identical budget (the reference main.py hardcodes 20 epochs): "
+            "at 40 optimizer steps CTC has not left the all-blank regime in "
+            "either stack — see lipnet_training_extended for the learning-"
+            "capacity run"
+        )
     results["lipnet_training"] = entry
     print(json.dumps(entry), flush=True)
+
+    # extended run: enough steps for CTC to actually learn the (learnable)
+    # synthetic corpus; held-out-speaker WER measures generalization over the
+    # shared phrase inventory. The equivalent reference run is quoted in
+    # projected hours from its measured clips/sec.
+    ext_dir = os.path.join(AV_DIR, "lipnet_ext")
+    t0 = time.time()
+    cli([
+        "train", "--data_path", CORPUS, "--epochs", "400",
+        "--batch_size", "8", "--checkpoint_dir", ext_dir,
+    ])
+    ext_wall = time.time() - t0
+    ext = json.load(open(os.path.join(ext_dir, "test_results.json")))
+    ext_entry = {
+        "scenario": "lipnet_training_extended (400 epochs)",
+        "avsync": {
+            "hardware": "1x TPU v5e chip",
+            "wall_seconds": round(ext_wall, 1),
+            "test_wer_heldout_speaker": ext["wer"],
+            "test_cer_heldout_speaker": ext["cer"],
+        },
+    }
+    if "reference" in entry and "train_clips_per_sec" in entry["reference"]:
+        rate = entry["reference"]["train_clips_per_sec"]
+        ext_entry["reference_projected_hours"] = round(
+            400 * 2 * CLIPS / rate / 3600.0, 2
+        )
+    results["lipnet_training_extended"] = ext_entry
+    print(json.dumps(ext_entry), flush=True)
     return pth
 
 
