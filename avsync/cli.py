@@ -150,6 +150,9 @@ def _config_from_args(args) -> AvsyncConfig:
                 ),
                 log_dir=getattr(args, "log_dir", base.train.log_dir),
                 quick_test=getattr(args, "quick_test", base.train.quick_test),
+                tensorboard=getattr(
+                    args, "tensorboard", base.train.tensorboard
+                ),
             ),
         )
     # Without --config, --model_family tf also switches the data geometry to
@@ -192,6 +195,7 @@ def _config_from_args(args) -> AvsyncConfig:
             checkpoint_dir=getattr(args, "checkpoint_dir", "./checkpoints"),
             log_dir=getattr(args, "log_dir", "logs"),
             quick_test=getattr(args, "quick_test", False),
+            tensorboard=getattr(args, "tensorboard", False),
         ),
     )
 
@@ -801,6 +805,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--resume", type=str, default=None,
                    help="Orbax checkpoint dir to resume training from "
                         "(restores params+optimizer+step)")
+    t.add_argument("--log_dir", type=str, default="logs")
+    t.add_argument("--tensorboard", action="store_true",
+                   help="write TensorBoard event files (train/ + validation/ "
+                        "under --log_dir; no TF dependency)")
     t.set_defaults(fn=cmd_train)
 
     te = sub.add_parser("test", help="evaluate CER/WER on the test split")

@@ -150,6 +150,11 @@ class TrainConfig:
     # axis (headroom; 1 by default for this 12.5M-param model).
     mesh_shape: Tuple[int, int] = (-1, 1)  # -1 -> all remaining devices
     quick_test: bool = False
+    # Write TensorBoard event files (train/ + validation/ subdirs under
+    # log_dir, tags epoch_loss/epoch_lr — the reference's Keras TensorBoard
+    # callback layout, `train.py:745-748`). Pure-python writer, no TF
+    # dependency (avsync/utils/tb.py).
+    tensorboard: bool = False
 
 
 @dataclass(frozen=True)

@@ -300,6 +300,17 @@ class LipNetTrainer:
         ckpt_dir = checkpoint_dir or cfg.checkpoint_dir
         ckpt = CheckpointManager(ckpt_dir)
 
+        tb_train = tb_val = None
+        if cfg.tensorboard:
+            from avsync.utils.tb import SummaryWriter
+
+            stamp = time.strftime("%Y%m%d-%H%M%S")
+            tb_train = SummaryWriter(os.path.join(cfg.log_dir, stamp, "train"))
+            tb_val = SummaryWriter(
+                os.path.join(cfg.log_dir, stamp, "validation")
+            )
+            self.log.log(f"TensorBoard events -> {cfg.log_dir}/{stamp}")
+
         if state is None:
             first = next(iter(train_loader_fn()))
             state = self.init_state(first)
@@ -323,6 +334,12 @@ class LipNetTrainer:
                 f"val_loss={val_loss:.4f} | lr={self.current_lr:.2e} | "
                 f"time={format_time(time.time() - te)}"
             )
+            if tb_train is not None:
+                tb_train.add_scalar("epoch_loss", train_loss, epoch)
+                tb_train.add_scalar("epoch_lr", self.current_lr, epoch)
+                tb_train.flush()
+                tb_val.add_scalar("epoch_loss", val_loss, epoch)
+                tb_val.flush()
             if example_fn is not None:
                 example_fn(state, epoch)
             if epoch % cfg.checkpoint_every == 0:
@@ -354,6 +371,9 @@ class LipNetTrainer:
         # stopping included), not past the requested epoch count.
         ckpt.save(final_epoch + 1, jax.device_get(state), config=self.config)
         ckpt.close()
+        if tb_train is not None:
+            tb_train.close()
+            tb_val.close()
         if history_path:
             with open(history_path, "w") as f:
                 jsonlib.dump(
