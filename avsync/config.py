@@ -82,6 +82,10 @@ class ModelConfig:
     # the 2x2 pool window packs into output channels, filling the MXU's 128
     # lanes and shrinking the pre-pool HBM footprint 4x. Exact same math.
     packed_conv: bool = False
+    # Fully fused Conv3D+ReLU+MaxPool Pallas kernel where eligible (Cin=1,
+    # even H/W — conv1): the pre-pool activation stays in VMEM instead of
+    # round-tripping HBM. Backward recomputes via the XLA composition.
+    fused_conv_pool: bool = False
     # Run the GRU recurrence with the fused Pallas kernel
     # (avsync.ops.pallas.gru): VMEM-resident state/weights + streamed DMA.
     # Forward uses the kernel; backward falls back to the scan VJP.

@@ -83,6 +83,7 @@ class ConvPoolBlock(nn.Module):
     kernel_size: tuple
     compute_dtype: Optional[str] = None
     packed: bool = False
+    pallas_fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -95,14 +96,28 @@ class ConvPoolBlock(nn.Module):
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
         dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else x.dtype
         kt, kh, kw = self.kernel_size
-        packable = (
-            self.packed
-            and x.shape[2] % 2 == 0
-            and x.shape[3] % 2 == 0
-            and kh % 2 == 1
-            and kw % 2 == 1
+        even_hw = x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0
+        odd_k = kh % 2 == 1 and kw % 2 == 1
+        if (
+            self.pallas_fused
+            and cin == 1
+            and even_hw
+            and odd_k
             and 4 * self.features <= 128
-        )
+        ):
+            # fully fused Conv3D+ReLU+Pool Pallas kernel: the pre-pool
+            # activation never leaves VMEM (ops/pallas/convpool.py)
+            from avsync.ops.pallas.convpool import conv1_pool_block
+
+            T = x.shape[1]
+            t_chunk = next(c for c in (15, 5, 3, 1) if T % c == 0)
+            # Mosaic kernels only compile for TPU; interpret elsewhere
+            interpret = jax.default_backend() != "tpu"
+            return conv1_pool_block(
+                x.astype(dt), kernel.astype(dt), bias,
+                (t_chunk, jnp.dtype(dt).name, interpret),
+            )
+        packable = self.packed and even_hw and odd_k and 4 * self.features <= 128
         if packable:
             out = conv3d_pack4(
                 x, kernel, bias, compute_dtype=dt, preferred_dtype=dt
@@ -127,6 +142,7 @@ class LipNet(nn.Module):
                 kernel_size=tuple(kern),
                 compute_dtype=cfg.compute_dtype,
                 packed=cfg.packed_conv,
+                pallas_fused=cfg.fused_conv_pool,
                 name=f"conv{i + 1}",
             )
             for i, (ch, kern) in enumerate(zip(cfg.conv_channels, cfg.conv_kernels))
