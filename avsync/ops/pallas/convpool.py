@@ -153,15 +153,161 @@ def _block_fwd(x, kernel, bias, opts):
 
 
 def _block_bwd(opts, res, g):
+    """dW/db from the fused Pallas backward (recomputes the pre-pool tile in
+    VMEM, scatters the pool+relu gradient in-tile, accumulates dW as a
+    patch^T GEMM). dx comes from the XLA composition's VJP — for conv1 (the
+    input layer) nothing consumes dx and jit DCE prunes that entire branch.
+    """
     x, kernel, bias = res
-    _, vjp = jax.vjp(
-        lambda x, k, b: _xla_block(x, k, b, opts[1]), x, kernel, bias
+    t_chunk, out_dtype, interpret = opts
+    dk, db = conv1_pool_bwd(
+        x, kernel, bias, g, t_chunk=t_chunk,
+        out_dtype=jnp.dtype(out_dtype), interpret=interpret,
     )
-    dx, dk, db = vjp(g)
+
+    def dx_fn(x):
+        return _xla_block(x, kernel, bias, out_dtype)
+
+    _, vjp = jax.vjp(dx_fn, x)
+    (dx,) = vjp(g)
     return dx.astype(x.dtype), dk.astype(kernel.dtype), db.astype(bias.dtype)
 
 
 conv1_pool_block.defvjp(_block_fwd, _block_bwd)
+
+
+def _bwd_kernel(kt: int, kh: int, kw: int, T: int, H2: int, W2: int, C: int,
+                TT: int, planes_ref, wmat_ref, bias_ref, g_ref,
+                dwmat_ref, dbias_ref, patch_scr):
+    """Accumulating backward: dwmat += patch @ dpre, dbias += sum(dpre).
+
+    The grid walks samples sequentially on TPU, so += accumulation into the
+    (constant-index) output blocks is safe; program 0 zero-initializes.
+    """
+    rows = TT * H2 * W2
+    ph, pw = (kh - 1) // 2, (kw - 1) // 2
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dwmat_ref[:, :] = jnp.zeros_like(dwmat_ref)
+        dbias_ref[:, :] = jnp.zeros_like(dbias_ref)
+
+    def chunk(ci, _):
+        t0 = ci * TT
+        idx = 0
+        for dt in range(kt):
+            for dh in range(kh + 1):
+                for dw in range(kw + 1):
+                    dh2, dw2 = dh - ph, dw - pw
+                    p = 2 * (dh2 % 2) + (dw2 % 2)
+                    hoff = 1 + (dh2 - (dh2 % 2)) // 2
+                    woff = 1 + (dw2 - (dw2 % 2)) // 2
+                    tap = planes_ref[
+                        0, p,
+                        pl.ds(t0 + dt, TT),
+                        pl.ds(hoff, H2),
+                        pl.ds(woff, W2),
+                    ]
+                    patch_scr[idx] = tap.reshape(rows)
+                    idx += 1
+        acc = lax.dot_general(
+            patch_scr[:, :], wmat_ref[:, :],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bias_ref[:]
+        r = jax.nn.relu(acc)
+        blocks = [r[:, j * C : (j + 1) * C] for j in range(4)]
+        pooled = jnp.maximum(
+            jnp.maximum(blocks[0], blocks[1]),
+            jnp.maximum(blocks[2], blocks[3]),
+        )
+        grad = (
+            g_ref[0, pl.ds(t0, TT)].reshape(rows, C).astype(jnp.float32)
+        )
+        # pool bwd: first matching window position (select_and_scatter
+        # order), then relu bwd masks by pre-activation sign
+        taken = jnp.zeros_like(pooled, dtype=jnp.bool_)
+        dpre_blocks = []
+        for j in range(4):
+            hit = jnp.logical_and(blocks[j] == pooled, jnp.logical_not(taken))
+            taken = jnp.logical_or(taken, hit)
+            alive = jnp.logical_and(hit, acc[:, j * C : (j + 1) * C] > 0)
+            dpre_blocks.append(jnp.where(alive, grad, 0.0))
+        dpre = jnp.concatenate(dpre_blocks, axis=1)  # (rows, 4C) f32
+        dwmat_ref[:, :] += lax.dot_general(
+            patch_scr[:, :].astype(jnp.float32), dpre,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dbias_ref[:, :] += jnp.sum(dpre, axis=0, keepdims=True)
+        return ()
+
+    lax.fori_loop(0, T // TT, chunk, ())
+
+
+@functools.partial(
+    jax.jit, static_argnames=("t_chunk", "interpret", "out_dtype")
+)
+def conv1_pool_bwd(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array,
+    g: jax.Array,
+    t_chunk: int = 5,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+):
+    """(dkernel, dbias) of the fused block given pooled-output cotangent g.
+
+    Recomputes the pre-pool tile from (x, kernel) in VMEM — no multi-GB
+    dprepool tensor ever exists in HBM (the XLA backward materializes it
+    twice over).
+    """
+    B, T, H, W, cin = x.shape
+    kt, kh, kw, _, C = kernel.shape
+    H2, W2 = H // 2, W // 2
+    dt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    planes = _parity_planes(x[..., 0].astype(dt), kt, kh, kw)
+    wmat = _pack4_weight_matrix(kernel).astype(dt)
+    bias4 = jnp.tile(bias.astype(jnp.float32), 4).reshape(1, 4 * C)
+    n_taps = kt * (kh + 1) * (kw + 1)
+
+    dwmat, dbias4 = pl.pallas_call(
+        functools.partial(_bwd_kernel, kt, kh, kw, T, H2, W2, C, t_chunk),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 4, T + kt - 1, H2 + 2, W2 + 2),
+                lambda b: (b, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(wmat.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(bias4.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, T, H2, W2, C), lambda b: (b, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (n_taps, 4 * C), lambda b: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, 4 * C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_taps, 4 * C), jnp.float32),
+            jax.ShapeDtypeStruct((1, 4 * C), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((n_taps, t_chunk * H2 * W2), dt)],
+        interpret=interpret,
+    )(planes, wmat, bias4, g)
+
+    # fold the packed-GEMM cotangents back onto the (kt,kh,kw,1,C) kernel and
+    # (C,) bias through the construction's own VJP
+    _, wvjp = jax.vjp(lambda k: _pack4_weight_matrix(k).astype(dt), kernel)
+    (dkernel,) = wvjp(dwmat.astype(dt))
+    dbias = dbias4.reshape(4, C).sum(0)
+    return dkernel, dbias
 
 
 @functools.partial(

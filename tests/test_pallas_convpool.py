@@ -61,6 +61,52 @@ class TestFusedConvPool:
                 np.asarray(g), np.asarray(r), atol=1e-3, rtol=1e-4
             )
 
+    @pytest.mark.parametrize(
+        "shape", [(6, 8, 12, (3, 5, 5), 4, 3), (4, 6, 8, (3, 3, 3), 5, 2)]
+    )
+    def test_pallas_bwd_kernel_matches_xla(self, rng, shape):
+        """The fused backward (recompute-in-VMEM dW/db kernel) must produce
+        the XLA composition's gradients."""
+        T, H, W, k, C, TT = shape
+        x, w, b = _case(rng, T=T, H=H, W=W, k=k, C=C)
+
+        def loss_ref(x, w, b):
+            return (max_pool3d(jax.nn.relu(conv3d(x, w, b))) ** 2).sum()
+
+        def loss_fused(x, w, b):
+            return (
+                conv1_pool_block(x, w, b, (TT, "float32", True)) ** 2
+            ).sum()
+
+        ref = jax.grad(loss_ref, argnums=(1, 2))(x, w, b)
+        got = jax.grad(loss_fused, argnums=(1, 2))(x, w, b)
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), atol=1e-3, rtol=1e-4
+            )
+
+    def test_pool_tiebreak_matches_select_and_scatter(self, rng):
+        """Equal values inside a pool window must route gradient to the FIRST
+        window position (XLA select_and_scatter semantics)."""
+        # constant input -> every window is a 4-way tie
+        x = jnp.ones((1, 3, 4, 4, 1), jnp.float32)
+        w = jnp.asarray(
+            (rng.random((3, 3, 3, 1, 2)) - 0.2).astype(np.float32)
+        )
+        b = jnp.asarray(rng.random(2).astype(np.float32))
+
+        def loss_ref(w):
+            return (max_pool3d(jax.nn.relu(conv3d(x, w, b))) ** 2).sum()
+
+        def loss_fused(w):
+            return (conv1_pool_block(x, w, b, (3, "float32", True)) ** 2).sum()
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(loss_fused)(w)),
+            np.asarray(jax.grad(loss_ref)(w)),
+            atol=1e-4, rtol=1e-4,
+        )
+
     def test_model_with_fused_conv1_matches(self):
         """LipNet(fused_conv_pool=True) == standard model (same params; the
         fused path engages only on conv1, Cin=1)."""
