@@ -153,6 +153,9 @@ def _config_from_args(args) -> AvsyncConfig:
                 tensorboard=getattr(
                     args, "tensorboard", base.train.tensorboard
                 ),
+                checkpoint_every=_arg(
+                    "checkpoint_every", base.train.checkpoint_every
+                ),
             ),
         )
     # Without --config, --model_family tf also switches the data geometry to
@@ -196,6 +199,7 @@ def _config_from_args(args) -> AvsyncConfig:
             log_dir=getattr(args, "log_dir", "logs"),
             quick_test=getattr(args, "quick_test", False),
             tensorboard=getattr(args, "tensorboard", False),
+            checkpoint_every=_arg("checkpoint_every", 10),
         ),
     )
 
@@ -806,6 +810,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Orbax checkpoint dir to resume training from "
                         "(restores params+optimizer+step)")
     t.add_argument("--log_dir", type=str, default="logs")
+    t.add_argument("--checkpoint_every", type=int, default=None,
+                   help="epochs between periodic checkpoints (default 10)")
     t.add_argument("--tensorboard", action="store_true",
                    help="write TensorBoard event files (train/ + validation/ "
                         "under --log_dir; no TF dependency)")
