@@ -49,6 +49,9 @@ class DataConfig:
     # Known-bad clip basenames to skip, like the reference's exclude list of
     # corrupt GRID videos (`train.py:650-653`).
     exclude: Tuple[str, ...] = ()
+    # Host decode threads per batch (the reference's DataLoader(num_workers=4),
+    # `main.py:133`); np.load and the native ingest release the GIL.
+    loader_threads: int = 4
 
 
 @dataclass(frozen=True)

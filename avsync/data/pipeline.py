@@ -192,35 +192,52 @@ class LipNetBatcher:
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
 
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = max(1, int(getattr(d, "loader_threads", 4)))
+
         def batches():
-            for i in range(0, n, B):
-                idx = order[i : i + B]
-                if len(idx) < B:
-                    if drop_last:
-                        return
-                    idx = np.concatenate([idx, np.zeros(B - len(idx), np.int64)])
-                    valid = len(order[i : i + B])
-                else:
-                    valid = B
-                raws = np.stack(
-                    [
-                        self._decode_clip(self.source.samples[j].video_path)
-                        for j in idx
-                    ]
-                )
-                boxes = None
-                if self._detector is not None and raws.shape[2:] != (
-                    d.img_height, d.img_width,
-                ):
-                    boxes = np.stack(
-                        [self._detector.detect_clip(clip) for clip in raws]
+            pool = ThreadPoolExecutor(max_workers=workers)
+            try:
+                for i in range(0, n, B):
+                    idx = order[i : i + B]
+                    if len(idx) < B:
+                        if drop_last:
+                            return
+                        idx = np.concatenate(
+                            [idx, np.zeros(B - len(idx), np.int64)]
+                        )
+                        valid = len(order[i : i + B])
+                    else:
+                        valid = B
+                    # decode in a thread pool (np.load / the native ingest
+                    # release the GIL during I/O; the reference used
+                    # DataLoader(num_workers=4), `main.py:133`)
+                    raws = np.stack(
+                        list(
+                            pool.map(
+                                lambda j: self._decode_clip(
+                                    self.source.samples[j].video_path
+                                ),
+                                idx,
+                            )
+                        )
                     )
-                labels, lengths = self.source.labels_batch(
-                    list(idx), d.max_label_length,
-                    vocab=self.cfg.model.family,
-                )
-                yield {"raw": raws, "boxes": boxes, "labels": labels,
-                       "label_lengths": lengths, "valid": valid}
+                    boxes = None
+                    if self._detector is not None and raws.shape[2:] != (
+                        d.img_height, d.img_width,
+                    ):
+                        boxes = np.stack(
+                            [self._detector.detect_clip(clip) for clip in raws]
+                        )
+                    labels, lengths = self.source.labels_batch(
+                        list(idx), d.max_label_length,
+                        vocab=self.cfg.model.family,
+                    )
+                    yield {"raw": raws, "boxes": boxes, "labels": labels,
+                           "label_lengths": lengths, "valid": valid}
+            finally:
+                pool.shutdown(wait=False)
 
         for hb in prefetch(batches(), prefetch_size):
             video = self._preprocess(hb["raw"], hb.get("boxes"))

@@ -76,7 +76,21 @@ class LipReader:
         return self.predict_frames(frames)
 
     def predict_batch(self, video_paths: Sequence[str]) -> List[str]:
-        return [self.predict(p) for p in video_paths]
+        """Batched serving path: decode all clips on host, one jitted
+        forward + batched greedy decode on device (compiled once per batch
+        size/geometry)."""
+        from avsync.data.video import decode_video_gray
+
+        clips = []
+        for p in video_paths:
+            frames = decode_video_gray(
+                p, max_frames=self.cfg.data.max_video_length
+            )
+            if frames.size == 0:
+                raise ValueError(f"no frames decoded from {p}")
+            clips.append(prepare_clip(frames, self.cfg))
+        log_probs = self._fwd(self.params, jnp.concatenate(clips, axis=0))
+        return self._decode(log_probs)
 
 
 class MisalignmentScorer:
