@@ -539,7 +539,10 @@ def cmd_misalign_train(args) -> int:
             conv_shape=_conv_shape(cfg), n_audio_feats=2 * cfg.audio.n_mfcc,
         )
 
-    trainer = DetectorTrainer(cfg, log=logger)
+    from avsync.parallel import make_mesh
+
+    mesh = make_mesh((len(jax.devices()), 1))
+    trainer = DetectorTrainer(cfg, log=logger, mesh=mesh)
     state, summary = trainer.train(
         banks["train"], len(train_p), banks["val"], len(val_p),
         save_every=args.save_every, save_fn=save_snapshot,

@@ -44,9 +44,24 @@ def make_detector_optimizer(lr: float, weight_decay: float):
 
 
 class DetectorTrainer:
-    def __init__(self, config: AvsyncConfig, log: Optional[Logger] = None):
+    """Host loop over jitted detector steps.
+
+    With `mesh` given, each step's (video_idx, shifts, labels) batch shards
+    over the 'data' axis (params, optimizer state and the FeatureBank
+    replicate — the bank is gathered with dynamic indices); XLA inserts the
+    gradient all-reduce. Ragged final batches are zero-weight-padded to the
+    mesh size, so the weighted loss/gradient math is exact, not approximated.
+    """
+
+    def __init__(
+        self,
+        config: AvsyncConfig,
+        log: Optional[Logger] = None,
+        mesh=None,
+    ):
         self.config = config
         self.log = log or Logger(None, console=True)
+        self.mesh = mesh
         self.model = MisalignmentDetector(
             hidden_dim=config.detector.hidden_dim, dropout=config.detector.dropout
         )
@@ -72,7 +87,7 @@ class DetectorTrainer:
             model, optimizer = self.model, self.optimizer
             audio_cfg = self.config.audio
 
-            def train_step(state, bank, video_idx, shifts, labels, rng):
+            def train_step(state, bank, video_idx, shifts, labels, weights, rng):
                 step_rng = jax.random.fold_in(rng, state.step)
                 feats = gather_features(bank, video_idx, shifts, audio_cfg)
 
@@ -83,8 +98,9 @@ class DetectorTrainer:
                         train=True,
                         rngs={"dropout": step_rng},
                     )
-                    loss = jnp.mean(
-                        optax.sigmoid_binary_cross_entropy(logits, labels)
+                    bce = optax.sigmoid_binary_cross_entropy(logits, labels)
+                    loss = jnp.sum(bce * weights) / jnp.maximum(
+                        jnp.sum(weights), 1.0
                     )
                     return loss, logits
 
@@ -102,18 +118,40 @@ class DetectorTrainer:
                     probs,
                 )
 
-            def eval_step(params, bank, video_idx, shifts, labels):
+            def eval_step(params, bank, video_idx, shifts, labels, weights):
                 feats = gather_features(bank, video_idx, shifts, audio_cfg)
                 logits = model.apply({"params": params}, feats, train=False)
-                loss = jnp.mean(
-                    optax.sigmoid_binary_cross_entropy(logits, labels)
+                bce = optax.sigmoid_binary_cross_entropy(logits, labels)
+                loss = jnp.sum(bce * weights) / jnp.maximum(
+                    jnp.sum(weights), 1.0
                 )
                 return loss, jax.nn.sigmoid(logits)
 
-            self._steps = {
-                "train": jax.jit(train_step, donate_argnums=(0,)),
-                "eval": jax.jit(eval_step),
-            }
+            if self.mesh is not None:
+                from avsync.parallel.mesh import batch_sharding, replicated
+
+                data_sh = batch_sharding(self.mesh)
+                rep = replicated(self.mesh)
+                self._steps = {
+                    "train": jax.jit(
+                        train_step,
+                        in_shardings=(
+                            rep, rep, data_sh, data_sh, data_sh, data_sh, rep,
+                        ),
+                        donate_argnums=(0,),
+                    ),
+                    "eval": jax.jit(
+                        eval_step,
+                        in_shardings=(
+                            rep, rep, data_sh, data_sh, data_sh, data_sh,
+                        ),
+                    ),
+                }
+            else:
+                self._steps = {
+                    "train": jax.jit(train_step, donate_argnums=(0,)),
+                    "eval": jax.jit(eval_step),
+                }
         return self._steps
 
     # -- epochs -----------------------------------------------------------
@@ -135,21 +173,37 @@ class DetectorTrainer:
             n_videos, det.max_shift_frames, det.num_negative_samples, rng,
             shuffle=train,
         )
+        # batches must tile the mesh 'data' axis; ragged tails pad with
+        # zero-weight rows (exact weighted loss, padded probs dropped)
+        tile = (
+            int(self.mesh.shape["data"]) if self.mesh is not None else 1
+        )
         total_loss, total_n = 0.0, 0
         all_probs, all_labels = [], []
         for i in range(0, len(video_idx), B):
-            vi = jnp.asarray(video_idx[i : i + B])
-            sh = jnp.asarray(shifts[i : i + B])
-            lb = jnp.asarray(labels[i : i + B])
+            vi = video_idx[i : i + B]
+            valid = len(vi)
+            pad = (-valid) % tile
+            w = np.concatenate([np.ones(valid), np.zeros(pad)]).astype(
+                np.float32
+            )
+            vi = jnp.asarray(np.pad(vi, (0, pad)))
+            sh = jnp.asarray(np.pad(shifts[i : i + B], (0, pad)))
+            lb = jnp.asarray(
+                np.pad(labels[i : i + B], (0, pad)).astype(np.float32)
+            )
+            w = jnp.asarray(w)
             if train:
                 state, loss, probs = self.steps["train"](
-                    state, bank, vi, sh, lb, self.rng
+                    state, bank, vi, sh, lb, w, self.rng
                 )
             else:
-                loss, probs = self.steps["eval"](state.params, bank, vi, sh, lb)
-            total_loss += float(loss) * len(vi)
-            total_n += len(vi)
-            all_probs.append(np.asarray(probs))
+                loss, probs = self.steps["eval"](
+                    state.params, bank, vi, sh, lb, w
+                )
+            total_loss += float(loss) * valid
+            total_n += valid
+            all_probs.append(np.asarray(probs)[:valid])
             all_labels.append(labels[i : i + B])
         probs = np.concatenate(all_probs)
         labs = np.concatenate(all_labels)

@@ -173,3 +173,17 @@ class TestDetectorEndToEnd:
         trainer = DetectorTrainer(cfg, log=Logger(None, console=False))
         state, summary = trainer.train(train_bank, 14, val_bank, 6)
         assert summary["best_val_auc"] > 0.8, summary
+
+        # data-parallel over the 8-device mesh: same data + seeds must give
+        # the same learning outcome (batch 8 shards 1/device; the ragged
+        # final batch exercises the zero-weight padding)
+        from avsync.parallel import make_mesh
+
+        mesh_trainer = DetectorTrainer(
+            cfg, log=Logger(None, console=False), mesh=make_mesh((8, 1))
+        )
+        _, mesh_summary = mesh_trainer.train(train_bank, 14, val_bank, 6)
+        assert mesh_summary["best_val_auc"] > 0.8, mesh_summary
+        np.testing.assert_allclose(
+            mesh_summary["best_val_auc"], summary["best_val_auc"], atol=0.05
+        )
