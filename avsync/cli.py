@@ -115,17 +115,24 @@ def _config_from_args(args) -> AvsyncConfig:
     if getattr(args, "config", None):
         with open(args.config) as f:
             base = AvsyncConfig.from_json(f.read())
+        model_kw = {"family": _arg("model_family", base.model.family)}
+        data_kw = {
+            "data_path": args.data_path,
+            "batch_size": _arg("batch_size", base.data.batch_size),
+            "roi_mode": _arg("roi_mode", base.data.roi_mode),
+        }
+        if family == "tf" and base.model.family != "tf":
+            # --model_family tf over a pytorch-family config: also switch
+            # the reference TF conv widths and data geometry
+            # (`train.py:88-89,266-273,505-521`)
+            model_kw["conv_channels"] = (128, 256, 64)
+            data_kw.update(
+                img_width=140, img_height=46, standardize_clips=True
+            )
         return dataclasses.replace(
             base,
-            model=dataclasses.replace(
-                base.model, family=_arg("model_family", base.model.family)
-            ),
-            data=dataclasses.replace(
-                base.data,
-                data_path=args.data_path,
-                batch_size=_arg("batch_size", base.data.batch_size),
-                roi_mode=_arg("roi_mode", base.data.roi_mode),
-            ),
+            model=dataclasses.replace(base.model, **model_kw),
+            data=dataclasses.replace(base.data, **data_kw),
             detector=dataclasses.replace(
                 base.detector,
                 hidden_dim=_arg("hidden_dim", base.detector.hidden_dim),
@@ -148,11 +155,9 @@ def _config_from_args(args) -> AvsyncConfig:
                 checkpoint_dir=getattr(
                     args, "checkpoint_dir", base.train.checkpoint_dir
                 ),
-                log_dir=getattr(args, "log_dir", base.train.log_dir),
                 quick_test=getattr(args, "quick_test", base.train.quick_test),
-                tensorboard=getattr(
-                    args, "tensorboard", base.train.tensorboard
-                ),
+                tensorboard=_arg("tensorboard", base.train.tensorboard),
+                log_dir=_arg("log_dir", base.train.log_dir),
                 checkpoint_every=_arg(
                     "checkpoint_every", base.train.checkpoint_every
                 ),
@@ -196,9 +201,9 @@ def _config_from_args(args) -> AvsyncConfig:
             epochs=_arg("epochs", 50),
             seed=getattr(args, "seed", 42),
             checkpoint_dir=getattr(args, "checkpoint_dir", "./checkpoints"),
-            log_dir=getattr(args, "log_dir", "logs"),
+            log_dir=_arg("log_dir", "logs"),
             quick_test=getattr(args, "quick_test", False),
-            tensorboard=getattr(args, "tensorboard", False),
+            tensorboard=_arg("tensorboard", False),
             checkpoint_every=_arg("checkpoint_every", 10),
         ),
     )
@@ -241,7 +246,9 @@ def cmd_train(args) -> int:
 
     if cfg.train.quick_test:
         # smoke mode (`main.py:154-167`): one batch through the forward pass
-        batch = next(iter(batchers["train"].epoch(shuffle=False)))
+        batch = next(
+            iter(batchers["train"].epoch(shuffle=False, drop_last=False))
+        )
         out = trainer.model.apply(
             {"params": trainer.init_state(batch).params}, batch["video"]
         )
@@ -287,7 +294,9 @@ def cmd_train(args) -> int:
         from avsync.train.lipnet_trainer import TrainState
         from avsync.utils.checkpoint import CheckpointManager
 
-        first = next(iter(batchers["train"].epoch(shuffle=False)))
+        first = next(
+            iter(batchers["train"].epoch(shuffle=False, drop_last=False))
+        )
         template = jax.device_get(trainer.init_state(first))
         ckpt = CheckpointManager(args.resume)
         restored, _meta = ckpt.restore(template=template)
@@ -482,7 +491,7 @@ def cmd_misalign_train(args) -> int:
 
     from avsync.data import GridDataSource, discover_speakers, split_videos
     from avsync.eval import roc_curve
-    from avsync.models import LipNet
+    from avsync.models import make_lipnet
     from avsync.train.detector_trainer import DetectorTrainer
     from avsync.utils.logging import Logger, format_time
 
@@ -511,7 +520,7 @@ def cmd_misalign_train(args) -> int:
     logger.log(f"Using {len(video_paths)} videos from {len(speakers)} speakers")
     print(f"Using {len(video_paths)} videos")
 
-    model = LipNet(cfg.model)
+    model = make_lipnet(cfg.model)
     params = _load_lipnet_params(args.checkpoint, model, cfg)
 
     train_p, val_p, test_p = split_videos(video_paths, seed=cfg.train.seed)
@@ -628,7 +637,7 @@ def cmd_misalign_eval(args) -> int:
     from avsync.data import GridDataSource, discover_speakers
     from avsync.eval import auroc
     from avsync.features import gather_features
-    from avsync.models import LipNet, MisalignmentDetector
+    from avsync.models import MisalignmentDetector, make_lipnet
 
     cfg = _config_from_args(args)
     det_params, meta = load_detector_pth(
@@ -639,7 +648,7 @@ def cmd_misalign_eval(args) -> int:
         hidden_dim=int(meta.get("hidden_dim", cfg.detector.hidden_dim))
     )
     det_params = jax.tree.map(jnp.asarray, det_params)
-    lip_model = LipNet(cfg.model)
+    lip_model = make_lipnet(cfg.model)
     lip_params = _load_lipnet_params(args.checkpoint, lip_model, cfg)
 
     speakers = args.speakers or discover_speakers(cfg.data.data_path)
@@ -703,7 +712,7 @@ def cmd_misalign_demo(args) -> int:
     )
     from avsync.demo import export_demo
     from avsync.features import build_feature_bank, gather_features
-    from avsync.models import LipNet, MisalignmentDetector
+    from avsync.models import MisalignmentDetector, make_lipnet
     from avsync.ops.audio import resample_host
 
     cfg = _config_from_args(args)
@@ -722,7 +731,7 @@ def cmd_misalign_demo(args) -> int:
     )
     cfg = cfg.replace(audio=audio_cfg)
 
-    lip_model = LipNet(cfg.model)
+    lip_model = make_lipnet(cfg.model)
     lip_params = _load_lipnet_params(args.checkpoint, lip_model, cfg)
 
     speakers = args.speakers or discover_speakers(cfg.data.data_path)
@@ -812,10 +821,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--resume", type=str, default=None,
                    help="Orbax checkpoint dir to resume training from "
                         "(restores params+optimizer+step)")
-    t.add_argument("--log_dir", type=str, default="logs")
+    t.add_argument("--log_dir", type=str, default=None,
+                   help="log directory (default 'logs', or the --config value)")
     t.add_argument("--checkpoint_every", type=int, default=None,
                    help="epochs between periodic checkpoints (default 10)")
-    t.add_argument("--tensorboard", action="store_true",
+    t.add_argument("--tensorboard", action="store_true", default=None,
                    help="write TensorBoard event files (train/ + validation/ "
                         "under --log_dir; no TF dependency)")
     t.set_defaults(fn=cmd_train)

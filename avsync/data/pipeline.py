@@ -78,7 +78,15 @@ class LipNetBatcher:
         elif config.data.roi_mode == "model":
             from avsync.models.localizer import load_bundled_params
 
-            self._localizer_params = load_bundled_params()
+            try:
+                self._localizer_params = load_bundled_params()
+            except FileNotFoundError:
+                import warnings
+
+                warnings.warn(
+                    "localizer weight bundle missing; roi_mode='model' "
+                    "falls back to the heuristic crop"
+                )
 
     # -- device preprocessing, compiled per input geometry ----------------
     def _preprocess(self, raw: np.ndarray, boxes=None) -> jax.Array:
@@ -110,7 +118,7 @@ class LipNetBatcher:
                         xf, per_frame, (d.img_height, d.img_width)
                     ) * (1.0 / 255.0)
                     return out[..., None]
-            elif d.roi_mode == "model":
+            elif d.roi_mode == "model" and self._localizer_params is not None:
                 loc_params = self._localizer_params
 
                 def run(x):  # learned on-device localizer (dlib replacement)

@@ -15,11 +15,17 @@ def make_lipnet(model_cfg):
     if model_cfg.family == "tf":
         from avsync.models.lipnet_tf import TFLipNet, TFModelConfig
 
+        channels = tuple(model_cfg.conv_channels)
+        if channels == (32, 64, 96):
+            # the PyTorch stack's widths on a tf-family config means the
+            # field was left at the ModelConfig default — use the reference
+            # TF widths (`train.py:505-521`), not a 32/64/96 TF stack
+            channels = (128, 256, 64)
         return TFLipNet(
             TFModelConfig(
                 hidden_dim=model_cfg.hidden_dim,
                 dropout_rate=model_cfg.dropout_rate,
-                conv_channels=tuple(model_cfg.conv_channels),
+                conv_channels=channels,
             )
         )
     return LipNet(model_cfg)

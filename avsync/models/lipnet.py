@@ -97,7 +97,9 @@ class ConvPoolBlock(nn.Module):
         dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else x.dtype
         kt, kh, kw = self.kernel_size
         even_hw = x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0
-        odd_k = kh % 2 == 1 and kw % 2 == 1
+        # pack4/fused pad the T axis symmetrically with (kt-1)//2 — only
+        # valid for odd temporal kernels too
+        odd_k = kt % 2 == 1 and kh % 2 == 1 and kw % 2 == 1
         if (
             self.pallas_fused
             and cin == 1

@@ -85,7 +85,9 @@ def conv3d_pack2(
     lane halves, so the packed layout never needs unpacking.
     """
     kt, kh, kw, cin, cout = kernel.shape
-    assert kw % 2 == 1, "pack2 needs an odd W kernel"
+    assert kt % 2 == 1 and kh % 2 == 1 and kw % 2 == 1, (
+        "pack2 needs odd kernels (symmetric SAME padding)"
+    )
     assert x.shape[3] % 2 == 0, "pack2 needs even W"
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -156,7 +158,9 @@ def conv3d_pack4(
     channel blocks — the un-pooled activation never exists in HBM.
     """
     kt, kh, kw, cin, cout = kernel.shape
-    assert kh % 2 == 1 and kw % 2 == 1, "pack4 needs odd H/W kernels"
+    assert kt % 2 == 1 and kh % 2 == 1 and kw % 2 == 1, (
+        "pack4 needs odd kernels (symmetric SAME padding)"
+    )
     assert x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0, "pack4 needs even H, W"
     if compute_dtype is not None:
         x = x.astype(compute_dtype)

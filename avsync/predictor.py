@@ -114,7 +114,7 @@ class MisalignmentScorer:
         hidden = int(meta.get("hidden_dim", self.cfg.detector.hidden_dim))
         self.detector = MisalignmentDetector(hidden_dim=hidden)
         self.det_params = jax.tree.map(jnp.asarray, det_params)
-        self.lipnet = LipNet(self.cfg.model)
+        self.lipnet = make_lipnet(self.cfg.model)
         self.lip_params = _load_params(lipnet_checkpoint, self.cfg)
         self._score = jax.jit(
             lambda p, f: jax.nn.sigmoid(self.detector.apply({"params": p}, f))

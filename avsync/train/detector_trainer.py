@@ -173,11 +173,14 @@ class DetectorTrainer:
             n_videos, det.max_shift_frames, det.num_negative_samples, rng,
             shuffle=train,
         )
-        # batches must tile the mesh 'data' axis; ragged tails pad with
+        # batches must tile the mesh's batch-sharding axes ('data', jointly
+        # with 'slice' on hierarchical meshes); ragged tails pad with
         # zero-weight rows (exact weighted loss, padded probs dropped)
-        tile = (
-            int(self.mesh.shape["data"]) if self.mesh is not None else 1
-        )
+        tile = 1
+        if self.mesh is not None:
+            tile = int(self.mesh.shape["data"]) * int(
+                self.mesh.shape.get("slice", 1)
+            )
         total_loss, total_n = 0.0, 0
         all_probs, all_labels = [], []
         for i in range(0, len(video_idx), B):

@@ -44,13 +44,15 @@ def e2e_benchmark(trainer, state, cfg) -> dict:
 
     from avsync.data import GridDataSource, LipNetBatcher, synthetic
 
-    corpus = f"{E2E_CORPUS}_{E2E_CLIPS}"
+    n_dev = len(trainer.mesh.devices.ravel())
+    # at least two batches per epoch regardless of device count
+    n_clips = max(E2E_CLIPS, 2 * 128 * n_dev)
+    corpus = f"{E2E_CORPUS}_{n_clips}"
     if not os.path.isdir(corpus):
         synthetic.write_corpus(
-            corpus, n_speakers=4, clips_per_speaker=E2E_CLIPS // 4,
+            corpus, n_speakers=4, clips_per_speaker=n_clips // 4,
             preprocessed=True, seed=7, with_audio=False,
         )
-    n_dev = len(trainer.mesh.devices.ravel())
     data_cfg = dataclasses.replace(
         cfg.data, data_path=corpus, batch_size=128 * n_dev
     )
@@ -59,13 +61,15 @@ def e2e_benchmark(trainer, state, cfg) -> dict:
     batcher = LipNetBatcher(src, cfg, mesh=trainer.mesh)
 
     def run_epoch(state, seed):
-        n = 0
+        n, metrics = 0, None
         for batch in batcher.epoch(shuffle=True, seed=seed):
             state, metrics = trainer.compiled["train"](
                 state, trainer._device_batch(batch), trainer.rng,
                 np.float32(trainer.current_lr),
             )
             n += batch["video"].shape[0]
+        if metrics is None:
+            raise RuntimeError("e2e corpus yielded no full batches")
         _sync_scalar(metrics["loss"])
         return state, n
 
