@@ -28,5 +28,16 @@ __all__ = [
     "DetectorConfig",
     "ModelConfig",
     "TrainConfig",
+    "LipReader",
+    "MisalignmentScorer",
     "__version__",
 ]
+
+
+def __getattr__(name):
+    # lazy serving-API exports: importing avsync stays cheap (no jax pull-in)
+    if name in ("LipReader", "MisalignmentScorer"):
+        from avsync import predictor
+
+        return getattr(predictor, name)
+    raise AttributeError(f"module 'avsync' has no attribute {name!r}")
