@@ -175,6 +175,32 @@ class TestResumeAndFamily:
         assert rc == 0
         assert "Predicted:" in capsys.readouterr().out
 
+    def test_model_family_switch_over_config(self, workdir):
+        """--model_family tf over a pytorch-family --config must also switch
+        the reference TF conv widths and 140x46 standardized geometry (a
+        bare family swap would build a mis-sized TF stack)."""
+        import argparse
+
+        from avsync.cli import _config_from_args
+
+        args = argparse.Namespace(
+            config=workdir["cfg_path"], data_path=workdir["corpus"],
+            model_family="tf",
+        )
+        cfg = _config_from_args(args)
+        assert cfg.model.family == "tf"
+        assert tuple(cfg.model.conv_channels) == (128, 256, 64)
+        assert (cfg.data.img_height, cfg.data.img_width) == (46, 140)
+        assert cfg.data.standardize_clips
+
+        # default-channel tf config built directly: make_lipnet substitutes
+        # the reference TF widths for the stale pytorch default
+        from avsync.config import ModelConfig
+        from avsync.models import make_lipnet
+
+        m = make_lipnet(ModelConfig(family="tf"))
+        assert m.cfg.conv_channels == (128, 256, 64)
+
     def test_tf_family_rejects_pth(self, workdir, trained_pth, tmp_path):
         from avsync.cli import _load_lipnet_params
         from avsync.config import AvsyncConfig, ModelConfig
