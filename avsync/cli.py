@@ -102,6 +102,28 @@ def _fit_mesh(cfg: AvsyncConfig):
     return make_mesh((data, m), devices=jax.devices()[: data * m])
 
 
+def _tuned_perf_defaults(args):
+    """(compute_dtype, packed_conv, remat) with backend-tuned defaults.
+
+    The bench-measured fast path (bench.py: bf16 matmuls + pack4 conv, no
+    remat — 648 clips/s/chip vs several x slower in f32/unpacked) is the
+    default whenever the backend is an accelerator; CPU runs keep
+    f32/unpacked so exact-parity tests hold. Explicit flags always win.
+    """
+    dtype = getattr(args, "compute_dtype", None)
+    packed = getattr(args, "packed_conv", None)
+    remat = getattr(args, "remat", None)
+    if dtype is None or packed is None:
+        import jax
+
+        accel = jax.default_backend() != "cpu"
+        if dtype is None:
+            dtype = "bfloat16" if accel else "float32"
+        if packed is None:
+            packed = accel
+    return dtype, bool(packed), bool(remat) if remat is not None else False
+
+
 def _config_from_args(args) -> AvsyncConfig:
     """Build the config tree: start from --config JSON when given (geometry,
     model size, mesh...), then apply the reference-compatible CLI scalars."""
@@ -116,6 +138,13 @@ def _config_from_args(args) -> AvsyncConfig:
         with open(args.config) as f:
             base = AvsyncConfig.from_json(f.read())
         model_kw = {"family": _arg("model_family", base.model.family)}
+        # perf flags: explicit CLI values override the config file; the
+        # backend-tuned defaults apply only when no --config is given (a
+        # config file's compute_dtype/packed_conv are deliberate choices)
+        if getattr(args, "compute_dtype", None) is not None:
+            model_kw["compute_dtype"] = args.compute_dtype
+        if getattr(args, "packed_conv", None) is not None:
+            model_kw["packed_conv"] = args.packed_conv
         data_kw = {
             "data_path": args.data_path,
             "batch_size": _arg("batch_size", base.data.batch_size),
@@ -149,6 +178,7 @@ def _config_from_args(args) -> AvsyncConfig:
             ),
             train=dataclasses.replace(
                 base.train,
+                remat=_arg("remat", base.train.remat),
                 epochs=_arg("epochs", base.train.epochs),
                 learning_rate=_arg("lr", base.train.learning_rate),
                 seed=getattr(args, "seed", base.train.seed),
@@ -167,6 +197,7 @@ def _config_from_args(args) -> AvsyncConfig:
     # the TF stack's convention: 140x46 mouth crops + per-clip
     # standardization (`train.py:88-89,266-273`).
     tf_family = family == "tf"
+    compute_dtype, packed_conv, remat = _tuned_perf_defaults(args)
     return AvsyncConfig(
         data=DataConfig(
             data_path=args.data_path,
@@ -179,9 +210,10 @@ def _config_from_args(args) -> AvsyncConfig:
         model=ModelConfig(
             family=family or "pytorch",
             hidden_dim=getattr(args, "model_hidden_dim", 256),
-            # reference conv widths per family (`model.py:16-20` vs
-            # `train.py:505-521`)
-            conv_channels=(128, 256, 64) if tf_family else (32, 64, 96),
+            # conv_channels left None -> ModelConfig resolves the family's
+            # reference widths (`model.py:16-20` vs `train.py:505-521`)
+            compute_dtype=compute_dtype,
+            packed_conv=packed_conv,
         ),
         audio=AudioConfig(
             sample_rate=_arg("sample_rate", 16000),
@@ -198,6 +230,7 @@ def _config_from_args(args) -> AvsyncConfig:
         ),
         train=TrainConfig(
             learning_rate=_arg("lr", 1e-4),
+            remat=remat,
             epochs=_arg("epochs", 50),
             seed=getattr(args, "seed", 42),
             checkpoint_dir=getattr(args, "checkpoint_dir", "./checkpoints"),
@@ -246,9 +279,7 @@ def cmd_train(args) -> int:
 
     if cfg.train.quick_test:
         # smoke mode (`main.py:154-167`): one batch through the forward pass
-        batch = next(
-            iter(batchers["train"].epoch(shuffle=False, drop_last=False))
-        )
+        batch = batchers["train"].first_batch()
         out = trainer.model.apply(
             {"params": trainer.init_state(batch).params}, batch["video"]
         )
@@ -260,7 +291,7 @@ def cmd_train(args) -> int:
         from avsync import text as textlib
 
         ex_batches = {
-            name: next(iter(batchers[name].epoch(shuffle=False, drop_last=False)))
+            name: batchers[name].first_batch()
             for name in ("train", "val")
         }
         decode = (
@@ -294,9 +325,7 @@ def cmd_train(args) -> int:
         from avsync.train.lipnet_trainer import TrainState
         from avsync.utils.checkpoint import CheckpointManager
 
-        first = next(
-            iter(batchers["train"].epoch(shuffle=False, drop_last=False))
-        )
+        first = batchers["train"].first_batch()
         template = jax.device_get(trainer.init_state(first))
         ckpt = CheckpointManager(args.resume)
         restored, _meta = ckpt.restore(template=template)
@@ -828,6 +857,22 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--tensorboard", action="store_true", default=None,
                    help="write TensorBoard event files (train/ + validation/ "
                         "under --log_dir; no TF dependency)")
+    t.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
+                   default=None,
+                   help="conv/GRU matmul dtype (params stay f32). Default: "
+                        "bfloat16 on TPU, float32 on CPU — the bench-tuned "
+                        "TPU config (bench.py)")
+    t.add_argument("--packed_conv", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="pack the 2x2 pool window into conv output channels "
+                        "where geometry allows (fills the MXU's 128 lanes, "
+                        "4x smaller pre-pool HBM footprint; exact same "
+                        "math). Default: on for TPU, off for CPU")
+    t.add_argument("--remat", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="rematerialize the forward in backward (more FLOPs, "
+                        "O(1) activation memory). Default off — measured "
+                        "slower at the tuned batch size (bench.py)")
     t.set_defaults(fn=cmd_train)
 
     te = sub.add_parser("test", help="evaluate CER/WER on the test split")

@@ -37,7 +37,11 @@ class DataConfig:
     # ROI strategy: 'heuristic' = fixed fractions above (`dataset.py:216-218`);
     # 'detector' = host MouthDetector boxes (dlib/Haar-equivalent,
     # `train.py:126-188`) + device crop; 'variance' = fully on-device
-    # temporal-variance localization (avsync.ops.image.variance_mouth_boxes).
+    # temporal-variance localization (avsync.ops.image.variance_mouth_boxes);
+    # 'model' = learned on-device box regressor with bundled weights
+    # (avsync.models.localizer; falls back to 'heuristic' with a warning if
+    # the weights file is missing). Weights provenance: trained on the
+    # synthetic mouth-ellipse distribution (scripts/train_localizer.py).
     roi_mode: str = "heuristic"
     # Per-clip standardization instead of /255 (the TF stack's convention,
     # `train.py:266-273`); off by default for parity with the PyTorch stack.
@@ -63,16 +67,18 @@ class ModelConfig:
     Conv3D(128/256/64)+3xBiLSTM encoder with blank-last CTC
     (`train.py:495-547`) — see avsync.models.lipnet_tf.
 
-    conv_channels applies to whichever family is selected (the defaults here
-    are the PyTorch stack's; the CLI substitutes (128, 256, 64) when
-    --model_family tf is used without --config).
+    conv_channels applies to whichever family is selected. Leaving it None
+    resolves to the family's reference widths at construction time —
+    (32, 64, 96) for 'pytorch' (`model.py:16-20`), (128, 256, 64) for 'tf'
+    (`train.py:505-521`) — so an EXPLICIT (32, 64, 96) on a tf-family config
+    builds exactly that model (it is not a sentinel).
     """
 
     family: str = "pytorch"
     vocab_size: int = 39  # 37 chars + blank(0) + <pad> (`dataset.py:41-46`)
     hidden_dim: int = 256
     dropout_rate: float = 0.5
-    conv_channels: Tuple[int, int, int] = (32, 64, 96)
+    conv_channels: Optional[Tuple[int, int, int]] = None
     conv_kernels: Tuple[Tuple[int, int, int], ...] = (
         (3, 5, 5),
         (3, 5, 5),
@@ -89,10 +95,22 @@ class ModelConfig:
     # even H/W — conv1): the pre-pool activation stays in VMEM instead of
     # round-tripping HBM. Backward recomputes via the XLA composition.
     fused_conv_pool: bool = False
-    # Run the GRU recurrence with the fused Pallas kernel
-    # (avsync.ops.pallas.gru): VMEM-resident state/weights + streamed DMA.
-    # Forward uses the kernel; backward falls back to the scan VJP.
+    # Run the GRU recurrence with the fused Pallas kernels
+    # (avsync.ops.pallas.gru): VMEM-resident state/weights + streamed DMA,
+    # forward AND backward (the bwd kernel recomputes gates in VMEM and is
+    # grad-parity-tested against the scan VJP — ops/gru.py:111-119).
     use_pallas_gru: bool = False
+
+    def __post_init__(self):
+        if self.conv_channels is None:
+            object.__setattr__(
+                self, "conv_channels",
+                (128, 256, 64) if self.family == "tf" else (32, 64, 96),
+            )
+        else:
+            object.__setattr__(
+                self, "conv_channels", tuple(self.conv_channels)
+            )
 
 
 @dataclass(frozen=True)

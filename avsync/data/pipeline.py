@@ -31,29 +31,67 @@ from avsync.ops import image as imglib
 
 
 def prefetch(iterator: Iterable, size: int = 2) -> Iterator:
-    """Background-thread prefetch: decouples host decode from consumption."""
+    """Background-thread prefetch: decouples host decode from consumption.
+
+    Abandoning the returned generator early (one-batch draws like
+    quick_test; generator close/GC) stops the worker thread and closes the
+    source iterator, so upstream `finally` blocks run — e.g. the per-epoch
+    decode ThreadPoolExecutor in LipNetBatcher.epoch shuts down instead of
+    leaking a blocked worker per abandoned epoch.
+    """
     q: queue.Queue = queue.Queue(maxsize=size)
     sentinel = object()
     err: list = []
+    stop = threading.Event()
 
     def worker():
         try:
             for item in iterator:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # propagate into the consumer
             err.append(e)
         finally:
-            q.put(sentinel)
+            close = getattr(iterator, "close", None)
+            if close is not None:
+                try:
+                    close()
+                except Exception:
+                    pass
+            while True:  # always deliver the sentinel, even if q is full
+                try:
+                    q.put_nowait(sentinel)
+                    break
+                except queue.Full:
+                    try:
+                        q.get_nowait()
+                    except queue.Empty:
+                        pass
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        while True:  # unblock a worker parked on a full queue
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join(timeout=5.0)
 
 
 class LipNetBatcher:
@@ -255,3 +293,14 @@ class LipNetBatcher:
                 "label_lengths": hb["label_lengths"],
                 "valid": hb["valid"],
             }
+
+    def first_batch(self, **epoch_kwargs) -> Dict[str, np.ndarray]:
+        """One batch, with the epoch generator (and its prefetch worker +
+        decode pool) explicitly closed — for quick_test / template draws."""
+        epoch_kwargs.setdefault("shuffle", False)
+        epoch_kwargs.setdefault("drop_last", False)
+        gen = self.epoch(**epoch_kwargs)
+        try:
+            return next(gen)
+        finally:
+            gen.close()

@@ -15,12 +15,11 @@ def make_lipnet(model_cfg):
     if model_cfg.family == "tf":
         from avsync.models.lipnet_tf import TFLipNet, TFModelConfig
 
+        # ModelConfig resolves conv_channels=None to the family's reference
+        # widths at construction, so whatever is here is what the user asked
+        # for — no sentinel-matching (an explicit (32, 64, 96) TF stack is
+        # representable).
         channels = tuple(model_cfg.conv_channels)
-        if channels == (32, 64, 96):
-            # the PyTorch stack's widths on a tf-family config means the
-            # field was left at the ModelConfig default — use the reference
-            # TF widths (`train.py:505-521`), not a 32/64/96 TF stack
-            channels = (128, 256, 64)
         return TFLipNet(
             TFModelConfig(
                 hidden_dim=model_cfg.hidden_dim,

@@ -312,7 +312,12 @@ class LipNetTrainer:
             self.log.log(f"TensorBoard events -> {cfg.log_dir}/{stamp}")
 
         if state is None:
-            first = next(iter(train_loader_fn()))
+            gen = iter(train_loader_fn())
+            try:
+                first = next(gen)
+            finally:
+                if hasattr(gen, "close"):
+                    gen.close()
             state = self.init_state(first)
 
         self.log.log(f"Starting training for {epochs} epochs...")

@@ -44,10 +44,20 @@ class CheckpointManager:
         metrics: Optional[Dict[str, Any]] = None,
     ) -> None:
         meta: Dict[str, Any] = {}
+        stale = None
         if step in self._mgr.all_steps():
-            # last-write-wins: resuming into the same directory re-saves the
-            # final snapshot under the same step label
-            self._mgr.delete(step)
+            # Last-write-wins, crash-safely: park the existing snapshot under
+            # a non-step name (atomic rename), write the replacement, and
+            # only then remove the old one — a crash mid-save leaves
+            # `.stale-<step>` intact (rename it back to `<step>` to recover)
+            # instead of destroying the only copy.
+            src = self._step_dir(step)
+            if src is not None:
+                stale = os.path.join(self.root, f".stale-{step}-{os.getpid()}")
+                os.rename(src, stale)
+                self._mgr.reload()
+            else:  # step tracked but dir missing: fall back to orbax delete
+                self._mgr.delete(step)
         if config is not None:
             meta["config"] = config.to_dict()
         if metrics is not None:
@@ -63,6 +73,15 @@ class CheckpointManager:
             ),
         )
         self._mgr.wait_until_finished()
+        if stale is not None:
+            import shutil
+
+            shutil.rmtree(stale, ignore_errors=True)
+
+    def _step_dir(self, step: int) -> Optional[str]:
+        """On-disk directory of an existing step snapshot, if present."""
+        p = os.path.join(self.root, str(step))
+        return p if os.path.isdir(p) else None
 
     def restore(self, step: Optional[int] = None, template: Any = None):
         """Returns (state, meta). `template` (a pytree of like-shaped arrays)

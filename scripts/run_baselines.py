@@ -3,9 +3,10 @@
 No GRID corpus exists in this environment, so every scenario runs on the
 deterministic synthetic corpus (avsync.data.synthetic) — the SAME corpus for
 the reference PyTorch stack (torch CPU, /root/reference) and for avsync
-(real TPU), so the WER numbers are directly comparable. librosa/dlib are
-absent, so the reference's misalignment-detector scenarios cannot execute
-here; those record avsync-only numbers with provenance notes.
+(real TPU), so the WER numbers are directly comparable. librosa itself is
+absent, but the reference's misalignment-detector scenarios execute anyway
+through avsync/compat_librosa.py (scripts/run_reference_detector.py), so
+scenarios 3 and 5 carry measured reference-side AUROC.
 
 Scenarios (BASELINE.json `configs`):
   1. single-clip LipNet inference (greedy CTC)
@@ -379,8 +380,8 @@ def scenario_5_detector_training(results, pth):
             "wall_seconds": round(wall, 1),
             "test_auroc": test_auc,
         },
-        "note": "reference detector training needs librosa (absent) — "
-                "not runnable in this environment",
+        "note": "reference side filled in by reference_detector() below "
+                "(librosa shim)",
     }
     print(json.dumps(results["detector_training"]), flush=True)
     return det
@@ -405,9 +406,32 @@ def scenario_3_shift_sweep(results, pth, det):
             "auroc_by_shift": sweep["auroc_by_shift"],
             "num_clips": sweep["num_clips"],
         },
-        "note": "reference side needs librosa (absent)",
     }
     print(json.dumps(results["shift_sweep_auroc"]), flush=True)
+
+
+def reference_detector(results):
+    """Reference-side numbers for scenarios 5 and 3: the ACTUAL reference
+    misalignment pipeline executed under the avsync librosa shim
+    (scripts/run_reference_detector.py)."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/run_reference_detector.py")],
+        capture_output=True, text=True, timeout=3600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "MPLBACKEND": "Agg"},
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"reference detector run failed:\n{proc.stderr[-2000:]}")
+    ref = json.load(open(os.path.join(WORK, "reference_detector.json")))
+    results["detector_training"]["reference"] = {
+        k: v for k, v in ref["training"].items() if k != "detector_checkpoint"
+    }
+    results["detector_training"]["note"] = (
+        "reference pipeline executed via avsync/compat_librosa.py (librosa "
+        "itself is not installable here); same corpus, epochs, shift range "
+        "and seed as the avsync run"
+    )
+    results["shift_sweep_auroc"]["reference"] = ref["sweep"]
+    print(json.dumps({"reference_detector": ref["training"]}), flush=True)
 
 
 def main():
@@ -430,6 +454,8 @@ def main():
     scenario_2_preprocessing(results, skip_reference)
     det = scenario_5_detector_training(results, pth)
     scenario_3_shift_sweep(results, pth, det)
+    if not skip_reference:
+        reference_detector(results)
 
     baseline_path = os.path.join(REPO, "BASELINE.json")
     doc = json.load(open(baseline_path))

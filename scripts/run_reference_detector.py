@@ -1,0 +1,217 @@
+"""Run the ACTUAL reference misalignment-detection pipeline, end to end.
+
+VERDICT r2 "Next #1": BASELINE scenarios 3 and 5 carried no reference-side
+number because the reference needs librosa (absent here). Its librosa
+surface is three calls (`misalignment_detection_train.py:121,176,203`), all
+covered by :mod:`avsync.compat_librosa` (backed by the float64 oracle in
+avsync/ops/audio_ref.py). This driver injects that shim and then executes
+the UNMODIFIED reference code (torch CPU):
+
+  Phase A — training: runpy-runs `/root/reference/misalignment_detection_train.py`
+            as __main__ on the synthetic corpus with the r2 reference-trained
+            LipNet backbone (the same frozen-backbone protocol the reference
+            uses), epochs/shift settings matching avsync's scenario-5 run.
+  Phase B — sweep: imports the reference module as a library and scores
+            aligned (shift 0) vs one random-signed shift per clip for each
+            magnitude 5..20 through the reference FeatureExtractor +
+            trained MisalignmentDetector — the exact protocol of
+            `avsync misalign-eval` (avsync/cli.py::cmd_misalign_eval),
+            same rng seed discipline.
+
+Usage:
+    python scripts/run_reference_detector.py [--update-baseline]
+
+Writes /tmp/avsync_baselines/reference_detector.json; with
+--update-baseline also merges the reference numbers into BASELINE.json's
+published detector_training / shift_sweep_auroc scenarios.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import runpy
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import avsync.compat_librosa as librosa_shim  # noqa: E402
+
+sys.modules["librosa"] = librosa_shim
+sys.modules["librosa.feature"] = librosa_shim.feature
+sys.path.insert(0, "/root/reference")
+
+WORK = "/tmp/avsync_baselines"
+CORPUS = os.path.join(WORK, "corpus")
+REF_DIR = os.path.join(WORK, "reference_run")
+OUT_JSON = os.path.join(WORK, "reference_detector.json")
+LIPNET_PTH = os.path.join(REF_DIR, "lipnet_final.pth")
+
+
+def phase_a_training() -> dict:
+    """Execute the reference training script as __main__."""
+    os.makedirs(REF_DIR, exist_ok=True)
+    det_pth = os.path.join(REF_DIR, "misalignment_detector.pth")
+    log_dir = os.path.join(REF_DIR, "det_logs")
+    os.environ.setdefault("MPLBACKEND", "Agg")
+    argv = [
+        "misalignment_detection_train.py",
+        "--data_path", CORPUS,
+        "--checkpoint", LIPNET_PTH,
+        "--detector_checkpoint", det_pth,
+        "--epochs", "20",
+        "--max_shift_frames", "15",
+        "--log_dir", log_dir,
+        "--seed", "42",
+    ]
+    old_argv, sys.argv = sys.argv, argv
+    t0 = time.time()
+    try:
+        runpy.run_path(
+            "/root/reference/misalignment_detection_train.py",
+            run_name="__main__",
+        )
+    finally:
+        sys.argv = old_argv
+    wall = time.time() - t0
+
+    run = sorted(os.listdir(log_dir))[-1]
+    log = open(os.path.join(log_dir, run, "training.log")).read()
+    test_auc = best_val = None
+    for line in log.splitlines():
+        if "Test AUC:" in line:
+            test_auc = float(line.split("Test AUC:")[-1])
+        if "Best val AUC:" in line:
+            best_val = float(line.split("Best val AUC:")[-1])
+    return {
+        "hardware": "host CPU (torch), 1 core",
+        "wall_seconds": round(wall, 1),
+        "test_auroc": test_auc,
+        "best_val_auroc": best_val,
+        "detector_checkpoint": det_pth,
+        "provenance": "actual reference misalignment_detection_train.py "
+                      "executed under the avsync librosa shim "
+                      "(avsync/compat_librosa.py)",
+    }
+
+
+def phase_b_sweep(det_pth: str, seed: int = 0) -> dict:
+    """Per-magnitude AUROC sweep through the reference feature pipeline."""
+    import torch
+    from sklearn.metrics import roc_auc_score
+
+    import misalignment_detection_train as ref  # noqa: E402 (reference)
+    from dataset import GridDataset  # noqa: E402 (reference)
+
+    cfg = ref.DetectorConfig(max_shift_frames=15)
+    speakers = sorted(
+        d for d in os.listdir(CORPUS) if d.startswith("s")
+    )
+    base = GridDataset(
+        CORPUS, speakers, img_width=cfg.img_width, img_height=cfg.img_height,
+        max_video_length=cfg.max_video_length,
+    )
+    device = torch.device("cpu")
+    lipnet = ref.load_lipnet(LIPNET_PTH, len(base.vocab), device)
+    extractor = ref.FeatureExtractor(base, lipnet, device, cfg)
+
+    ckpt = torch.load(det_pth, map_location=device)
+    det = ref.MisalignmentDetector(ckpt["input_dim"], ckpt["hidden_dim"])
+    det.load_state_dict(ckpt["model_state_dict"])
+    det.eval()
+
+    paths = [v for v, _ in base.samples]
+    n = len(paths)
+
+    def scores(shifts):
+        feats = torch.stack(
+            [extractor.build_feature(p, int(s))[0] for p, s in zip(paths, shifts)]
+        )
+        with torch.no_grad():
+            return torch.sigmoid(det(feats)).numpy()
+
+    t0 = time.time()
+    aligned = scores(np.zeros(n, np.int64))
+    rng = np.random.default_rng(seed)
+    by_shift = {}
+    all_scores, all_labels = [aligned], [np.ones(n)]
+    for s in range(5, 21):
+        signs = rng.choice([-1, 1], size=n)
+        shifted = scores(signs * s)
+        by_shift[str(s)] = float(roc_auc_score(
+            np.concatenate([np.ones(n), np.zeros(n)]),
+            np.concatenate([aligned, shifted]),
+        ))
+        all_scores.append(shifted)
+        all_labels.append(np.zeros(n))
+    overall = float(roc_auc_score(
+        np.concatenate(all_labels), np.concatenate(all_scores)
+    ))
+    return {
+        "hardware": "host CPU (torch), 1 core",
+        "wall_seconds": round(time.time() - t0, 1),
+        "overall_auroc": overall,
+        "auroc_by_shift": by_shift,
+        "num_clips": n,
+        "provenance": "reference FeatureExtractor + MisalignmentDetector "
+                      "under the avsync librosa shim; protocol mirrors "
+                      "`avsync misalign-eval` (aligned vs one random-signed "
+                      "shift per clip per magnitude)",
+    }
+
+
+def update_baseline(results: dict) -> None:
+    path = os.path.join(REPO, "BASELINE.json")
+    doc = json.load(open(path))
+    pub = doc.get("published", {})
+    det = pub.get("detector_training", {})
+    det["reference"] = {
+        k: v for k, v in results["training"].items()
+        if k != "detector_checkpoint"
+    }
+    det["note"] = (
+        "reference pipeline executed via avsync/compat_librosa.py (librosa "
+        "itself is not installable here); same corpus, epochs, shift range "
+        "and seed as the avsync run"
+    )
+    pub["detector_training"] = det
+    sweep = pub.get("shift_sweep_auroc", {})
+    sweep["reference"] = results["sweep"]
+    pub["shift_sweep_auroc"] = sweep
+    doc["published"] = pub
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=2)
+    print(f"merged reference numbers into {path}")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--update-baseline", action="store_true")
+    ap.add_argument("--skip-training", action="store_true",
+                    help="reuse the existing trained detector (phase B only)")
+    args = ap.parse_args()
+
+    results = {}
+    det_pth = os.path.join(REF_DIR, "misalignment_detector.pth")
+    if args.skip_training and os.path.exists(det_pth):
+        results["training"] = json.load(open(OUT_JSON))["training"]
+    else:
+        results["training"] = phase_a_training()
+        det_pth = results["training"]["detector_checkpoint"]
+    print(json.dumps(results["training"]), flush=True)
+    results["sweep"] = phase_b_sweep(det_pth)
+    print(json.dumps(results["sweep"]), flush=True)
+    with open(OUT_JSON, "w") as f:
+        json.dump(results, f, indent=2)
+    if args.update_baseline:
+        update_baseline(results)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

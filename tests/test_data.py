@@ -207,3 +207,60 @@ class TestExcludeAndPrefetch:
         from avsync.data.pipeline import prefetch
 
         assert list(prefetch(iter(range(20)), size=3)) == list(range(20))
+
+    def test_prefetch_abandonment_stops_worker_and_closes_source(self):
+        """Abandoning the prefetch generator after one item must stop the
+        worker thread and close the source iterator (so upstream finally
+        blocks — the per-epoch decode pool — run)."""
+        import threading
+        import time
+
+        from avsync.data.pipeline import prefetch
+
+        closed = threading.Event()
+
+        def gen():
+            try:
+                for i in range(10_000):
+                    yield i
+            finally:
+                closed.set()
+
+        before = threading.active_count()
+        it = prefetch(gen(), size=1)
+        assert next(it) == 0
+        it.close()  # abandon after one item
+        assert closed.wait(timeout=5.0), "source iterator was never closed"
+        deadline = time.time() + 5.0
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.01)
+        assert threading.active_count() <= before
+
+    def test_first_batch_closes_decode_pool(self, tmp_path):
+        """LipNetBatcher.first_batch must not leak the epoch's decode pool
+        threads (quick_test / resume-template path, avsync/cli.py)."""
+        import threading
+        import time
+
+        root = str(tmp_path / "grid4")
+        synthetic.write_corpus(
+            root, n_speakers=1, clips_per_speaker=3,
+            n_frames=4, height=8, width=12, seed=7, with_audio=False,
+        )
+        cfg = AvsyncConfig(
+            data=DataConfig(
+                data_path=root, img_height=8, img_width=12,
+                max_video_length=4, batch_size=1, loader_threads=2,
+            )
+        )
+        batcher = LipNetBatcher(GridDataSource(root), cfg)
+        before = threading.active_count()
+        for _ in range(5):
+            b = batcher.first_batch()
+            assert b["video"].shape[0] == 1
+        deadline = time.time() + 5.0
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.01)
+        # no accumulation: repeated one-batch draws leave no lingering
+        # worker/pool threads behind
+        assert threading.active_count() <= before + 1

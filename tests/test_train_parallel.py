@@ -228,6 +228,26 @@ class TestTrainerLoop:
         )
         assert int(state3.step) > int(restored.step)
 
+    def test_checkpoint_overwrite_same_step_is_crash_safe(self, tmp_path):
+        """Re-saving an existing step label must keep the old snapshot on
+        disk until the replacement is fully written (the old copy is parked
+        as .stale-<step>, removed only after save succeeds), and the new
+        content must win."""
+        import numpy as np
+
+        root = str(tmp_path / "ow")
+        m = CheckpointManager(root)
+        m.save(5, {"w": np.zeros(3)})
+        m.save(5, {"w": np.ones(3)})
+        state, _ = m.restore(5)
+        np.testing.assert_array_equal(np.asarray(state["w"]), np.ones(3))
+        assert m.all_steps() == [5]
+        import os
+
+        leftovers = [d for d in os.listdir(root) if d.startswith(".stale")]
+        assert leftovers == []  # cleaned up after the successful save
+        m.close()
+
     def test_plot_losses(self, tmp_path):
         cfg = tiny_config()
         trainer = LipNetTrainer(cfg, mesh=make_mesh((8, 1)), log=Logger(None, console=False))
