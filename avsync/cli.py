@@ -149,6 +149,7 @@ def _config_from_args(args) -> AvsyncConfig:
             "data_path": args.data_path,
             "batch_size": _arg("batch_size", base.data.batch_size),
             "roi_mode": _arg("roi_mode", base.data.roi_mode),
+            "device_cache": _arg("device_cache", base.data.device_cache),
         }
         if family == "tf" and base.model.family != "tf":
             # --model_family tf over a pytorch-family config: also switch
@@ -206,6 +207,7 @@ def _config_from_args(args) -> AvsyncConfig:
             img_height=46 if tf_family else 50,
             standardize_clips=tf_family,
             roi_mode=_arg("roi_mode", "heuristic"),
+            device_cache=_arg("device_cache", "auto"),
         ),
         model=ModelConfig(
             family=family or "pytorch",
@@ -830,7 +832,12 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["heuristic", "detector", "variance", "model"],
                         default=None,
                         help="mouth ROI: fixed fractions / host cascade / "
-                             "on-device variance / learned localizer")
+                             "on-device variance / learned localizer. "
+                             "'model' weights are trained on the synthetic "
+                             "mouth distribution (scripts/train_localizer"
+                             ".py); per-clip predictions that capture below-"
+                             "average temporal motion fall back to the "
+                             "heuristic crop")
 
     t = sub.add_parser("train", help="LipNet CTC training")
     common(t)
@@ -873,6 +880,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rematerialize the forward in backward (more FLOPs, "
                         "O(1) activation memory). Default off — measured "
                         "slower at the tuned batch size (bench.py)")
+    t.add_argument("--device_cache", choices=["auto", "on", "off"],
+                   default=None,
+                   help="pin the preprocessed corpus in device memory from "
+                        "epoch 2 on (pure on-device batches); 'auto' "
+                        "(default) does so when it fits the budget")
     t.set_defaults(fn=cmd_train)
 
     te = sub.add_parser("test", help="evaluate CER/WER on the test split")

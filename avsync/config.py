@@ -56,6 +56,13 @@ class DataConfig:
     # Host decode threads per batch (the reference's DataLoader(num_workers=4),
     # `main.py:133`); np.load and the native ingest release the GIL.
     loader_threads: int = 4
+    # Device-resident preprocessed-corpus cache: 'auto' pins the whole
+    # preprocessed corpus in device memory from the second epoch on when it
+    # fits device_cache_budget_mb, making epoch 2+ batches pure on-device
+    # gathers (no host decode, no H2D). 'on' forces it, 'off' always
+    # streams. Identical batch contents either way (tests/test_data.py).
+    device_cache: str = "auto"
+    device_cache_budget_mb: int = 4096
 
 
 @dataclass(frozen=True)

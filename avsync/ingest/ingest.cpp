@@ -461,53 +461,81 @@ int avs_mux_mp4(const char* path, const uint8_t* frames, int n_frames,
     avformat_free_context(oc);
     return fail("cannot open output file");
   }
-  if (avformat_write_header(oc, nullptr) < 0) return fail("header write failed");
 
+  // Every failure past this point (including header write) routes through
+  // one cleanup path that frees both codec contexts, the frames/packet,
+  // closes the avio handle and frees the muxer — and every encode/write
+  // call's return code is checked, so an ENOSPC mid-write surfaces as an
+  // error instead of a silently truncated .mp4.
   AVPacket* pkt = av_packet_alloc();
-  auto drain = [&](AVCodecContext* ctx, AVStream* st, int64_t dur) {
-    while (avcodec_receive_packet(ctx, pkt) == 0) {
+  SwsContext* sws = nullptr;
+  AVFrame* vf = nullptr;
+  AVFrame* af = nullptr;
+  auto cleanup = [&]() {
+    if (sws) sws_freeContext(sws);
+    if (vf) av_frame_free(&vf);
+    if (af) av_frame_free(&af);
+    if (pkt) av_packet_free(&pkt);
+    avcodec_free_context(&vctx);
+    if (actx) avcodec_free_context(&actx);
+    if (!(oc->oformat->flags & AVFMT_NOFILE) && oc->pb) avio_closep(&oc->pb);
+    avformat_free_context(oc);
+  };
+  auto fail_cleanup = [&](const char* msg) {
+    cleanup();
+    return fail(msg);
+  };
+
+  if (avformat_write_header(oc, nullptr) < 0)
+    return fail_cleanup("header write failed");
+
+  auto drain = [&](AVCodecContext* ctx, AVStream* st, int64_t dur) -> int {
+    int r;
+    while ((r = avcodec_receive_packet(ctx, pkt)) == 0) {
       // an unset duration leaves the mp4's last sample 0-length, which
       // ffmpeg-family demuxers then drop on decode — set it explicitly
       if (pkt->duration == 0) pkt->duration = dur;
       av_packet_rescale_ts(pkt, ctx->time_base, st->time_base);
       pkt->stream_index = st->index;
-      av_interleaved_write_frame(oc, pkt);
+      int w = av_interleaved_write_frame(oc, pkt);
       av_packet_unref(pkt);
+      if (w < 0) return w;
     }
+    return (r == AVERROR(EAGAIN) || r == AVERROR_EOF) ? 0 : r;
   };
 
   // encode video: BGR24 -> yuv420p
-  SwsContext* sws = sws_getContext(W, H, AV_PIX_FMT_BGR24, W, H,
-                                   AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr,
-                                   nullptr, nullptr);
-  AVFrame* vf = av_frame_alloc();
+  sws = sws_getContext(W, H, AV_PIX_FMT_BGR24, W, H, AV_PIX_FMT_YUV420P,
+                       SWS_BILINEAR, nullptr, nullptr, nullptr);
+  if (!sws) return fail_cleanup("cannot create pixel converter");
+  vf = av_frame_alloc();
   vf->format = AV_PIX_FMT_YUV420P;
   vf->width = W;
   vf->height = H;
-  av_frame_get_buffer(vf, 0);
+  if (av_frame_get_buffer(vf, 0) < 0)
+    return fail_cleanup("cannot allocate video frame");
   for (int i = 0; i < n_frames; ++i) {
     av_frame_make_writable(vf);
     const uint8_t* src[1] = {frames + (size_t)i * height * width * 3};
     int src_lin[1] = {width * 3};
     sws_scale(sws, src, src_lin, 0, H, vf->data, vf->linesize);
     vf->pts = i;
-    avcodec_send_frame(vctx, vf);
-    drain(vctx, vst, 1);
+    if (avcodec_send_frame(vctx, vf) < 0 || drain(vctx, vst, 1) < 0)
+      return fail_cleanup("video encode/write failed");
   }
-  avcodec_send_frame(vctx, nullptr);
-  drain(vctx, vst, 1);
-  sws_freeContext(sws);
-  av_frame_free(&vf);
+  if (avcodec_send_frame(vctx, nullptr) < 0 || drain(vctx, vst, 1) < 0)
+    return fail_cleanup("video encoder flush failed");
 
   // encode audio in encoder-frame-size chunks (AAC: 1024), zero-padded tail
   if (actx) {
     int fsz = actx->frame_size > 0 ? actx->frame_size : 1024;
-    AVFrame* af = av_frame_alloc();
+    af = av_frame_alloc();
     af->format = AV_SAMPLE_FMT_FLTP;
     av_channel_layout_default(&af->ch_layout, 1);
     af->sample_rate = sample_rate;
     af->nb_samples = fsz;
-    av_frame_get_buffer(af, 0);
+    if (av_frame_get_buffer(af, 0) < 0)
+      return fail_cleanup("cannot allocate audio frame");
     long long pos = 0;
     while (pos < n_samples) {
       av_frame_make_writable(af);
@@ -516,21 +544,16 @@ int avs_mux_mp4(const char* path, const uint8_t* frames, int n_frames,
       std::memcpy(dst, audio + pos, sizeof(float) * take);
       if (take < fsz) std::memset(dst + take, 0, sizeof(float) * (fsz - take));
       af->pts = pos;
-      avcodec_send_frame(actx, af);
-      drain(actx, ast, actx->frame_size > 0 ? actx->frame_size : 1024);
+      if (avcodec_send_frame(actx, af) < 0 || drain(actx, ast, fsz) < 0)
+        return fail_cleanup("audio encode/write failed");
       pos += take;
     }
-    avcodec_send_frame(actx, nullptr);
-    drain(actx, ast, actx->frame_size > 0 ? actx->frame_size : 1024);
-    av_frame_free(&af);
+    if (avcodec_send_frame(actx, nullptr) < 0 || drain(actx, ast, fsz) < 0)
+      return fail_cleanup("audio encoder flush failed");
   }
 
-  av_write_trailer(oc);
-  av_packet_free(&pkt);
-  avcodec_free_context(&vctx);
-  if (actx) avcodec_free_context(&actx);
-  if (!(oc->oformat->flags & AVFMT_NOFILE)) avio_closep(&oc->pb);
-  avformat_free_context(oc);
+  if (av_write_trailer(oc) < 0) return fail_cleanup("trailer write failed");
+  cleanup();
   return 0;
 }
 

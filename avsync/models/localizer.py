@@ -107,6 +107,41 @@ def localize_clip_boxes(params, clips: jax.Array) -> jax.Array:
     return localize_frames(params, clips.mean(axis=1))
 
 
+def gate_boxes(
+    clips: jax.Array,
+    boxes: jax.Array,
+    fallback: jax.Array,
+    threshold: float = 1.0,
+) -> jax.Array:
+    """Per-clip sanity gate on predicted boxes (degenerate-box fallback).
+
+    The bundled weights are trained on the synthetic mouth distribution
+    only; on out-of-distribution video a regressed box can be degenerate.
+    A correct mouth box captures above-average temporal motion (the mouth is
+    what moves in a talking-head clip), so: boxes whose interior mean
+    temporal variance falls below `threshold` x the frame-wide mean are
+    replaced by `fallback` (the heuristic crop fractions). Fully static
+    clips trivially pass (0 >= 0) and keep the model box, which is harmless.
+
+    clips: (B, T, H, W) f32; boxes: (B, 4) normalized; fallback: (4,).
+    """
+    motion = clips.var(axis=1)  # (B, H, W) temporal variance per pixel
+    B, H, W = motion.shape
+    yy = (jnp.arange(H, dtype=motion.dtype) + 0.5) / H
+    xx = (jnp.arange(W, dtype=motion.dtype) + 0.5) / W
+    inside = (
+        (yy[None, :, None] >= boxes[:, 0, None, None])
+        & (yy[None, :, None] < boxes[:, 1, None, None])
+        & (xx[None, None, :] >= boxes[:, 2, None, None])
+        & (xx[None, None, :] < boxes[:, 3, None, None])
+    )
+    area = jnp.maximum(inside.sum(axis=(1, 2)), 1)
+    inbox = (motion * inside).sum(axis=(1, 2)) / area
+    overall = motion.mean(axis=(1, 2))
+    ok = inbox >= threshold * overall
+    return jnp.where(ok[:, None], boxes, fallback[None, :])
+
+
 def iou(a: jax.Array, b: jax.Array) -> jax.Array:
     """Elementwise IoU of (..., 4) boxes in (y0, y1, x0, x1) form."""
     iy = jnp.maximum(

@@ -73,13 +73,41 @@ def main():
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
 
+    def augment(x, key):
+        """Photometric robustness augmentation (jitted, on-device): contrast
+        and brightness jitter, additive noise, and a random occluding
+        rectangle — boxes are photometric-invariant so labels don't change.
+        The net must keep localizing under degraded/occluded video (the
+        dlib path it replaces handled real-world contrast)."""
+        kc, kb, kn, ko, kv = jax.random.split(key, 5)
+        B, H, W = x.shape
+        a = jax.random.uniform(kc, (B, 1, 1), minval=0.5, maxval=1.5)
+        b = jax.random.uniform(kb, (B, 1, 1), minval=-0.2, maxval=0.2)
+        noise = jax.random.normal(kn, x.shape) * jax.random.uniform(
+            kv, (B, 1, 1), minval=0.0, maxval=0.08
+        )
+        x = jnp.clip(x * a + b + noise, 0.0, 1.0)
+        # occluder: one rectangle per sample, up to 1/4 of each dimension,
+        # filled with a random constant
+        k1, k2, k3, k4, k5 = jax.random.split(ko, 5)
+        oy = jax.random.uniform(k1, (B, 1, 1))
+        ox = jax.random.uniform(k2, (B, 1, 1))
+        ohh = jax.random.uniform(k3, (B, 1, 1), minval=0.05, maxval=0.25)
+        oww = jax.random.uniform(k4, (B, 1, 1), minval=0.05, maxval=0.25)
+        fill = jax.random.uniform(k5, (B, 1, 1))
+        yy = (jnp.arange(H) + 0.5)[None, :, None] / H
+        xx = (jnp.arange(W) + 0.5)[None, None, :] / W
+        occ = ((yy >= oy) & (yy < oy + ohh) & (xx >= ox) & (xx < ox + oww))
+        return jnp.where(occ, fill, x)
+
     def loss_fn(params, x, y):
         pred = model.apply({"params": params}, x[..., None])
         l1 = jnp.abs(pred - y).mean()
         return l1 + (1.0 - iou(pred, y).mean())
 
     @jax.jit
-    def train_step(params, opt_state, x, y):
+    def train_step(params, opt_state, x, y, key):
+        x = augment(x, key)
         loss, grads = jax.value_and_grad(loss_fn)(params, x, y)
         updates, opt_state = tx.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
@@ -96,7 +124,9 @@ def main():
         if step % (len(Xt) // B) == 0:
             rng.shuffle(order)
         idx = order[(step * B) % len(Xt): (step * B) % len(Xt) + B]
-        params, opt_state, loss = train_step(params, opt_state, Xt[idx], Yt[idx])
+        params, opt_state, loss = train_step(
+            params, opt_state, Xt[idx], Yt[idx], jax.random.fold_in(key, step)
+        )
         if step % 200 == 0 or step == steps - 1:
             v = float(val_iou(params, Xv, Yv))
             print(f"step {step:5d}  loss={float(loss):.4f}  val_iou={v:.3f}",

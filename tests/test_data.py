@@ -177,6 +177,115 @@ class TestBatcherEndToEnd:
         assert 0.0 <= v.min() and v.max() <= 1.0
 
 
+class TestDeviceCache:
+    """The epoch-2+ device-resident corpus cache must be invisible except
+    for speed: identical batches to the streamed path."""
+
+    def _corpus_cfg(self, tmp_path, device_cache, batch_size=2):
+        root = str(tmp_path / "gridc")
+        synthetic.write_corpus(
+            root, n_speakers=1, clips_per_speaker=5,
+            n_frames=4, height=12, width=20, seed=11, with_audio=False,
+        )
+        cfg = AvsyncConfig(
+            data=DataConfig(
+                data_path=root, img_height=12, img_width=20,
+                max_video_length=4, batch_size=batch_size,
+                device_cache=device_cache,
+            )
+        )
+        return root, cfg
+
+    @staticmethod
+    def _collect(batcher, **kw):
+        return [
+            {k: np.asarray(v) if k != "valid" else v for k, v in b.items()}
+            for b in batcher.epoch(**kw)
+        ]
+
+    def test_cached_epochs_match_streamed_exactly(self, tmp_path):
+        root, cfg = self._corpus_cfg(tmp_path, "auto")
+        import dataclasses
+
+        streamed = LipNetBatcher(
+            GridDataSource(root),
+            dataclasses.replace(
+                cfg, data=dataclasses.replace(cfg.data, device_cache="off")
+            ),
+        )
+        cached = LipNetBatcher(GridDataSource(root), cfg)
+        for kw in (
+            dict(shuffle=True, seed=3, drop_last=True),
+            dict(shuffle=False, drop_last=False),  # partial-batch padding
+        ):
+            a = self._collect(streamed, **kw)
+            # two calls: the second is served from the device cache
+            self._collect(cached, **kw)
+            b = self._collect(cached, **kw)
+            assert cached._device_cache is not None
+            assert len(a) == len(b)
+            for x, y in zip(a, b):
+                assert x["valid"] == y["valid"]
+                np.testing.assert_array_equal(x["labels"], y["labels"])
+                np.testing.assert_array_equal(
+                    x["label_lengths"], y["label_lengths"]
+                )
+                np.testing.assert_array_equal(x["video"], y["video"])
+
+    def test_off_never_caches(self, tmp_path):
+        root, cfg = self._corpus_cfg(tmp_path, "off")
+        b = LipNetBatcher(GridDataSource(root), cfg)
+        for _ in range(3):
+            list(b.epoch(shuffle=False, drop_last=False))
+        assert b._device_cache is None
+
+    def test_auto_respects_budget(self, tmp_path):
+        root, cfg = self._corpus_cfg(tmp_path, "auto")
+        import dataclasses
+
+        tiny = dataclasses.replace(cfg.data, device_cache_budget_mb=0)
+        b = LipNetBatcher(GridDataSource(root),
+                          dataclasses.replace(cfg, data=tiny))
+        for _ in range(3):
+            list(b.epoch(shuffle=False, drop_last=False))
+        assert b._device_cache is None
+
+    def test_cached_epoch_on_mesh_matches(self, tmp_path):
+        """Cache path under a (8,1) mesh: gathers come out batch-sharded and
+        numerically identical to the streamed mesh path."""
+        from avsync.parallel import make_mesh
+
+        root, cfg = self._corpus_cfg(tmp_path, "on", batch_size=8)
+        # pad corpus so a full batch of 8 exists
+        synthetic.write_corpus(
+            str(tmp_path / "gridc8"), n_speakers=1, clips_per_speaker=8,
+            n_frames=4, height=12, width=20, seed=12, with_audio=False,
+        )
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(
+                cfg.data, data_path=str(tmp_path / "gridc8")
+            )
+        )
+        mesh = make_mesh((8, 1))
+        src = GridDataSource(str(tmp_path / "gridc8"))
+        streamed = LipNetBatcher(
+            src, dataclasses.replace(
+                cfg, data=dataclasses.replace(cfg.data, device_cache="off")
+            ), mesh=mesh,
+        )
+        cached = LipNetBatcher(src, cfg, mesh=mesh)
+        (a,) = list(streamed.epoch(shuffle=True, seed=1))
+        (b,) = list(cached.epoch(shuffle=True, seed=1))
+        assert cached._device_cache is not None  # 'on' caches immediately
+        np.testing.assert_array_equal(np.asarray(a["video"]),
+                                      np.asarray(b["video"]))
+        np.testing.assert_array_equal(a["labels"], b["labels"])
+        # gather output is sharded over the data axis like streamed batches
+        assert not b["video"].sharding.is_fully_replicated
+
+
 class TestExcludeAndPrefetch:
     def test_exclude_list_skips_clips(self, tmp_path):
         """`DataConfig.exclude`-style basename filtering (`train.py:650-653`)."""
