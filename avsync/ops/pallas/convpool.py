@@ -27,11 +27,15 @@ at the input layer (nothing consumes an input-video gradient).
 Reference op: the first LipNet block (`/root/reference/model.py:22-24`,
 Conv3d(1, 32, (3,5,5)) + MaxPool3d((1,2,2))).
 
-STATUS (measured on v5e through the axon tunnel, B=128 bench geometry):
-correct on real TPU (bf16 parity with the XLA block), but not yet faster —
-the XLA patches op costs ~16 ms and the kernel's small per-program blocks
-leave the DMA pipeline under-utilized (~61 ms total vs 21 ms for the pack4
-XLA formulation); larger t_chunk blocks trip Mosaic VMEM limits. Kept as
+STATUS — RETIRED for the forward path (measured + roofline, see PERF.md):
+correct on real TPU (bf16 parity with the XLA block) but 61 ms vs 21 ms for
+the pack4 XLA formulation, and the gap is structural, not tunable: the
+patches formulation duplicates every input element kt*(kh+1)*(kw+1) = 108x,
+so the patch tensor (~2.6 GB bf16 at bench geometry) costs >=24 ms of pure
+HBM write+read before any compute — already above pack4's 21 ms total.
+Beating pack4 would require building patches inside VMEM from raw input
+tiles, which needs lane-dim merge/scatter reshapes Mosaic rejects
+("unsupported shape cast"; only leading-dim reshapes compile). Kept as
 tested groundwork behind ModelConfig.fused_conv_pool (default off); the
 shipping conv1 path is pack4 (ops/conv.py), which the bench config uses.
 """
