@@ -99,6 +99,22 @@ def main() -> int:
     )
     steps_per_epoch = (len(ds) + BATCH - 1) // BATCH
     model = LipNet(vocab_size=len(ds.vocab))
+
+    # Resume from the newest checkpoint if one exists (the job is long-lived
+    # and must survive driver restarts; Adam state is rebuilt fresh, which
+    # costs a brief re-warmup but keeps the checkpoint format the reference's
+    # own plain state_dict).
+    start_epoch = 0
+    ckpts = sorted(
+        (int(f.split("epoch")[1].split(".")[0]), f)
+        for f in os.listdir(WORK)
+        if f.startswith("lipnet_refwer_epoch") and f.endswith(".pth")
+    ) if os.path.isdir(WORK) else []
+    if ckpts:
+        start_epoch, latest = ckpts[-1]
+        model.load_state_dict(torch.load(os.path.join(WORK, latest)))
+        print(f"resuming from epoch {start_epoch} ({latest})", flush=True)
+
     trainer = Trainer(model, torch.device("cpu"))
 
     # Cache the processed clips + transcripts once for the periodic eval.
@@ -110,7 +126,7 @@ def main() -> int:
 
     progress = os.path.join(WORK, "progress.jsonl")
     t0 = time.time()
-    with open(progress, "w") as out:
+    with open(progress, "a" if start_epoch else "w") as out:
         out.write(json.dumps({
             "config": {
                 "corpus": CORPUS, "speakers": SPEAKERS, "clips": len(ds),
@@ -119,7 +135,7 @@ def main() -> int:
                 "optimizer": "reference Trainer (Adam 1e-4, CTC blank=0, clip 1.0)",
             }}) + "\n")
         out.flush()
-        for epoch in range(1, max_epochs + 1):
+        for epoch in range(start_epoch + 1, max_epochs + 1):
             loss = trainer.train_epoch(loader)
             if epoch % every == 0 or time.time() - t0 > max_sec:
                 model.eval()
