@@ -254,7 +254,16 @@ class DetectorTrainer:
                 f"val_loss={va['loss']:.4f} val_acc={va['acc']:.3f} "
                 f"val_auc={va['auc']:.3f} | time={time.time() - te:.1f}s"
             )
-            if not np.isnan(va["auc"]) and va["auc"] > best_auc:
+            # >= (not >): ties go to the LATEST epoch. The reference's
+            # `best_state = model.state_dict()` (:432) aliases the live
+            # tensors — never deep-copied — so its final `load_state_dict`
+            # restores nothing and the last epoch's weights ship. Val AUC
+            # saturates at 1.0 within a few epochs here, so strict `>` would
+            # freeze a just-saturated (undertrained) model: measured AUROC
+            # 0.75 vs 1.0 at 1-frame shifts. Latest-tie selection keeps true
+            # best-val semantics while matching the reference's effective
+            # operating point.
+            if not np.isnan(va["auc"]) and va["auc"] >= best_auc:
                 best_auc = va["auc"]
                 best_params = jax.device_get(state.params)
                 self.log.log(f"  -> New best model (val_auc={best_auc:.3f})")
