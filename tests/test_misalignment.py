@@ -187,3 +187,50 @@ class TestDetectorEndToEnd:
         np.testing.assert_allclose(
             mesh_summary["best_val_auc"], summary["best_val_auc"], atol=0.05
         )
+
+
+class TestModelSelection:
+    def test_val_auc_ties_select_latest_epoch(self):
+        """When val AUC saturates (1.0 every epoch), the restored weights
+        must be the LAST epoch's, not the first saturating epoch's.
+
+        This mirrors the reference's effective behavior: its
+        `best_state = model.state_dict()` aliases the live tensors
+        (`misalignment_detection_train.py:430-434`), so the final
+        `load_state_dict` restores nothing and the final weights ship.
+        A strict `>` here froze an undertrained model and cost measured
+        AUROC (0.75 vs 1.0) on 1-frame shifts."""
+        cfg = AvsyncConfig(
+            model=TINY,
+            detector=DetectorConfig(hidden_dim=8, epochs=4, batch_size=4),
+        )
+        trainer = DetectorTrainer(cfg, log=Logger(None, console=False))
+        calls = {"n": 0}
+
+        def scripted_run_epoch(state, bank, n_videos, seed, train=True,
+                               batch_size=None):
+            if train:
+                calls["n"] += 1
+                # a distinguishable param tree per epoch
+                params = jax.tree.map(
+                    lambda x: jnp.full_like(x, calls["n"]), state.params
+                )
+                state = state._replace(params=params)
+                return state, {"loss": 0.0, "acc": 1.0, "auc": 1.0,
+                               "labels": np.ones(2), "probs": np.ones(2)}
+            return state, {"loss": 0.0, "acc": 1.0, "auc": 1.0,
+                           "labels": np.ones(2), "probs": np.ones(2)}
+
+        trainer.run_epoch = scripted_run_epoch
+        state0 = trainer.init_state(feature_dim=6)
+        # train() calls init_state internally; seed its rng identically
+        trainer.init_state = lambda feature_dim: state0
+        # feature_dim math inside train() only reads bank.visual.shape[1]
+        bank = type("B", (), {"visual": np.zeros((2, 2))})
+        state, summary = trainer.train(bank, 2, bank, 2, epochs=4)
+        leaf = jax.tree.leaves(state.params)[0]
+        assert float(np.asarray(leaf).ravel()[0]) == 4.0, (
+            "expected the epoch-4 params (latest tie), got "
+            f"{float(np.asarray(leaf).ravel()[0])}"
+        )
+        assert summary["best_val_auc"] == 1.0
