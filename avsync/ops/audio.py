@@ -95,8 +95,14 @@ def mfcc_frames(
     F = num_frames(S, hop)
     power = power_spectrogram(audio, cfg)
 
+    # precision=HIGHEST: without it TPU matmuls truncate f32 inputs to bf16.
+    # MFCC is a vanishing fraction of any workload's FLOPs, and a 1-frame
+    # A/V shift moves only ~2 of ~120 hops, so the stat deltas the detector
+    # must separate sit near bf16's quantization floor — full-precision
+    # lanes here are free fidelity.
     melspec = jnp.einsum(
-        "bfk,km->bfm", power, melT, preferred_element_type=jnp.float32
+        "bfk,km->bfm", power, melT, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     log_spec = 10.0 * jnp.log10(jnp.maximum(_AMIN, melspec))
 
@@ -107,7 +113,8 @@ def mfcc_frames(
     log_spec = jnp.maximum(log_spec, ref_max - cfg.top_db)
 
     mfcc = jnp.einsum(
-        "bfm,mc->bfc", log_spec, dctT, preferred_element_type=jnp.float32
+        "bfm,mc->bfc", log_spec, dctT, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return mfcc, valid
 

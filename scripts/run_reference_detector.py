@@ -171,7 +171,7 @@ def update_baseline(results: dict, hard: bool = False) -> None:
     path = os.path.join(REPO, "BASELINE.json")
     doc = json.load(open(path))
     pub = doc.get("published", {})
-    if not hard:
+    if not hard and "training" in results:
         det = pub.get("detector_training", {})
         det["reference"] = {
             k: v for k, v in results["training"].items()
@@ -217,11 +217,15 @@ def main() -> int:
     results = {}
     det_pth = os.path.join(REF_DIR, "misalignment_detector.pth")
     if args.skip_training and os.path.exists(det_pth):
-        results["training"] = json.load(open(OUT_JSON))["training"]
+        # reuse the prior training record when its JSON survived; the .pth
+        # alone is enough for the sweep
+        if os.path.exists(OUT_JSON):
+            results["training"] = json.load(open(OUT_JSON))["training"]
     else:
         results["training"] = phase_a_training()
         det_pth = results["training"]["detector_checkpoint"]
-    print(json.dumps(results["training"]), flush=True)
+    if "training" in results:
+        print(json.dumps(results["training"]), flush=True)
     results["sweep"] = phase_b_sweep(
         det_pth, min_shift=args.min_shift, max_shift=args.max_shift
     )
