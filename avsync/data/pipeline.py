@@ -300,19 +300,36 @@ class LipNetBatcher:
             list(range(n)), self.cfg.data.max_label_length,
             vocab=self.cfg.model.family,
         )
-        # Layout: the cache is stored FLAT, (N, T*H*W*C), never (N,T,H,W,1).
-        # A trailing dim of 1 maps to the TPU lane dimension and XLA's tiled
-        # layout pads it 128x: a row gather from the 5-D cache measured
-        # 5,035 ms/batch-of-128 on v5e vs 31 ms from the flat layout.
-        # The gather itself is a one-hot matmul (rides the MXU) rather than
-        # jnp.take — 55 ms vs 251 ms for the dynamic-gather HLO at the same
-        # shapes — and reshapes to the clip shape only at the jit boundary.
+        # Layout: the cache is stored FLAT — (N, 4*T*H*W*C) int8, the f32
+        # clips bitcast to bytes — never (N,T,H,W,1). Two measured v5e traps
+        # drive this design (see PERF.md "Cache layout"):
+        #   * a trailing dim of 1 maps to the 128-wide TPU lane dimension and
+        #     XLA's tiled layout pads it 128x: a row gather from the 5-D
+        #     cache measured 5,035 ms/batch-of-128 vs 31 ms flat;
+        #   * dynamic-gather HLO (jnp.take) is row-DMA-bound even on the flat
+        #     layout (248 ms), so the gather is a one-hot MATMUL on the MXU —
+        #     but a bf16/f32 matmul truncates the f32 cache on read, and
+        #     Precision.HIGHEST is exact yet 70x slower (2,135 ms). The int8
+        #     formulation is both: one_hot(int8) x bytes -> s32 accumulation
+        #     recovers every byte exactly (124 ms), so cached batches stay
+        #     BIT-IDENTICAL to streamed ones and the gather still pipelines
+        #     fully under a ~198 ms train step.
         clip_shape = vids[0].shape[1:]
 
         def gather(c, i):
-            oh = jax.nn.one_hot(i, c.shape[0], dtype=c.dtype)
-            flat = jnp.dot(oh, c, preferred_element_type=jnp.float32)
-            return flat.reshape((-1,) + clip_shape)
+            oh = jax.nn.one_hot(i, c.shape[0], dtype=jnp.int8)
+            rows = jnp.dot(oh, c, preferred_element_type=jnp.int32)
+            return (
+                rows.astype(jnp.int8)
+                .view(jnp.float32)
+                .reshape((-1,) + clip_shape)
+            )
+
+        def to_bytes(x):
+            x = jnp.asarray(x, jnp.float32)
+            return x.reshape(x.shape[0], -1).view(jnp.int8).reshape(
+                x.shape[0], -1
+            )
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -322,7 +339,7 @@ class LipNetBatcher:
             replicated = NamedSharding(self.mesh, PartitionSpec())
             video = jax.jit(
                 lambda xs: jnp.concatenate(
-                    [x.reshape(x.shape[0], -1) for x in xs], axis=0
+                    [to_bytes(x) for x in xs], axis=0
                 ),
                 out_shardings=replicated,
             )(vids)
@@ -330,9 +347,7 @@ class LipNetBatcher:
                 gather, out_shardings=batch_sharding(self.mesh)
             )
         else:
-            video = jnp.concatenate(
-                [jnp.asarray(x).reshape(x.shape[0], -1) for x in vids], axis=0
-            )
+            video = jnp.concatenate([to_bytes(x) for x in vids], axis=0)
             self._gather = jax.jit(gather)
         self._device_cache = {
             "video": video, "labels": labels, "label_lengths": lengths,

@@ -246,21 +246,31 @@ class LipNetTrainer:
     def train_epoch(
         self, state: TrainState, loader: Iterable, metrics_writer=None
     ) -> Tuple[TrainState, float]:
-        total, n = 0.0, 0
+        """One pass over the loader.
+
+        Per-step metrics stay ON DEVICE until the epoch ends: a host fetch
+        inside the loop would serialize each step against the input
+        pipeline's on-device work (cache gathers, preprocess), while
+        deferred fetches let XLA's async dispatch overlap them — the same
+        discipline bench.py's epoch loop uses. The epoch-end fetch is the
+        honest device sync."""
         lr = np.float32(self.current_lr)
+        pending = []  # per-step device metrics, fetched after the loop
         for batch in loader:
             state, metrics = self.compiled["train"](
                 state, self._device_batch(batch), self.rng, lr
             )
-            loss = float(metrics["loss"])  # host fetch = honest device sync
-            total += loss
-            n += 1
-            if metrics_writer is not None:
+            pending.append(metrics)
+        losses = [float(m["loss"]) for m in pending]  # device sync
+        if metrics_writer is not None:
+            # step numbers reconstructed from the final step counter
+            first = int(state.step) - len(pending) + 1
+            for i, m in enumerate(pending):
                 metrics_writer.write(
-                    int(state.step), loss=loss,
-                    grad_norm=float(metrics["grad_norm"]), lr=float(lr),
+                    first + i, loss=losses[i],
+                    grad_norm=float(m["grad_norm"]), lr=float(lr),
                 )
-        return state, total / max(n, 1)
+        return state, sum(losses) / max(len(losses), 1)
 
     def validate(self, state: TrainState, loader: Iterable) -> float:
         total, n = 0.0, 0

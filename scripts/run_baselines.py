@@ -102,17 +102,32 @@ def cli(args):
     assert rc == 0, f"avsync cli failed: {args}"
 
 
+# Canonical avsync-side training invocations for the baseline protocol.
+# run_hard_sweep.py reuses these so the two drivers cannot drift apart.
+
+def train_avsync_lipnet(pth, ckpt_dir):
+    cli([
+        "train", "--data_path", CORPUS, "--epochs", str(EPOCHS),
+        "--batch_size", "8", "--checkpoint_dir", ckpt_dir,
+        "--export_pth", pth,
+    ])
+
+
+def train_avsync_detector(pth, det, log_dir):
+    cli([
+        "misalign-train", "--data_path", CORPUS, "--checkpoint", pth,
+        "--detector_checkpoint", det, "--epochs", "20",
+        "--max_shift_frames", "15", "--log_dir", log_dir,
+    ])
+
+
 def scenario_4_training(results, skip_reference):
     """LipNet CTC training, batch 8, both stacks, same corpus + split."""
     os.makedirs(AV_DIR, exist_ok=True)
     ckpt_dir = os.path.join(AV_DIR, "lipnet_ckpts")
     pth = os.path.join(AV_DIR, "lipnet_final.pth")
     t0 = time.time()
-    cli([
-        "train", "--data_path", CORPUS, "--epochs", str(EPOCHS),
-        "--batch_size", "8", "--checkpoint_dir", ckpt_dir,
-        "--export_pth", pth,
-    ])
+    train_avsync_lipnet(pth, ckpt_dir)
     av_wall = time.time() - t0
     av_results = json.load(open(os.path.join(ckpt_dir, "test_results.json")))
     entry = {
@@ -360,11 +375,7 @@ def scenario_5_detector_training(results, pth):
     det = os.path.join(AV_DIR, "detector.pth")
     log_dir = os.path.join(AV_DIR, "det_logs")
     t0 = time.time()
-    cli([
-        "misalign-train", "--data_path", CORPUS, "--checkpoint", pth,
-        "--detector_checkpoint", det, "--epochs", "20",
-        "--max_shift_frames", "15", "--log_dir", log_dir,
-    ])
+    train_avsync_detector(pth, det, log_dir)
     wall = time.time() - t0
     log_run = sorted(os.listdir(log_dir))[-1]
     txt = open(os.path.join(log_dir, log_run, "training.log")).read()

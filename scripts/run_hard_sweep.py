@@ -43,7 +43,7 @@ sys.path.insert(
 
 from run_baselines import (  # noqa: E402
     AV_DIR, CORPUS, REF_DIR, REPO, WORK, cli, ensure_corpora,
-    run_reference_training,
+    run_reference_training, train_avsync_detector, train_avsync_lipnet,
 )
 
 HARD_JSON = os.path.join(WORK, "reference_detector_hard.json")
@@ -54,20 +54,10 @@ def avsync_artifacts():
     os.makedirs(AV_DIR, exist_ok=True)
     pth = os.path.join(AV_DIR, "lipnet_final.pth")
     if not os.path.exists(pth):
-        ckpt_dir = os.path.join(AV_DIR, "lipnet_ckpts")
-        cli([
-            "train", "--data_path", CORPUS, "--epochs", "20",
-            "--batch_size", "8", "--checkpoint_dir", ckpt_dir,
-            "--export_pth", pth,
-        ])
+        train_avsync_lipnet(pth, os.path.join(AV_DIR, "lipnet_ckpts"))
     det = os.path.join(AV_DIR, "detector.pth")
     if not os.path.exists(det):
-        cli([
-            "misalign-train", "--data_path", CORPUS, "--checkpoint", pth,
-            "--detector_checkpoint", det, "--epochs", "20",
-            "--max_shift_frames", "15",
-            "--log_dir", os.path.join(AV_DIR, "det_logs"),
-        ])
+        train_avsync_detector(pth, det, os.path.join(AV_DIR, "det_logs"))
     return pth, det
 
 
@@ -78,6 +68,11 @@ def avsync_hard_sweep(pth: str, det: str) -> dict:
         "misalign-eval", "--data_path", CORPUS, "--checkpoint", pth,
         "--detector_checkpoint", det, "--min_shift", "1",
         "--max_shift", "4", "--output", out_json,
+        # seed 0 matches run_reference_detector.phase_b_sweep: both sides
+        # draw the per-clip shift SIGNS from np.default_rng(0) in the same
+        # order, so the scored pair sets are identical (the CLI's default
+        # seed is 42, which would sweep different sign patterns)
+        "--seed", "0",
     ])
     wall = time.time() - t0
     sweep = json.load(open(out_json))
@@ -99,6 +94,7 @@ def reference_hard_sweep() -> dict:
     if os.path.exists(det_pth):
         args.append("--skip-training")
     env = {**os.environ, "JAX_PLATFORMS": "cpu", "MPLBACKEND": "Agg"}
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # keep the TPU tunnel out of it
     proc = subprocess.run(args, capture_output=True, text=True,
                           timeout=7200, env=env)
     if proc.returncode != 0:

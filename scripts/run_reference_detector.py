@@ -218,9 +218,12 @@ def main() -> int:
     det_pth = os.path.join(REF_DIR, "misalignment_detector.pth")
     if args.skip_training and os.path.exists(det_pth):
         # reuse the prior training record when its JSON survived; the .pth
-        # alone is enough for the sweep
+        # alone is enough for the sweep (the JSON may itself be sweep-only
+        # if a previous run also skipped training)
         if os.path.exists(OUT_JSON):
-            results["training"] = json.load(open(OUT_JSON))["training"]
+            prior = json.load(open(OUT_JSON)).get("training")
+            if prior is not None:
+                results["training"] = prior
     else:
         results["training"] = phase_a_training()
         det_pth = results["training"]["detector_checkpoint"]

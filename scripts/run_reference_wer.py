@@ -104,7 +104,7 @@ def main() -> int:
     # and must survive driver restarts; Adam state is rebuilt fresh, which
     # costs a brief re-warmup but keeps the checkpoint format the reference's
     # own plain state_dict).
-    start_epoch = 0
+    start_epoch, wall_offset = 0, 0.0
     ckpts = sorted(
         (int(f.split("epoch")[1].split(".")[0]), f)
         for f in os.listdir(WORK)
@@ -113,7 +113,18 @@ def main() -> int:
     if ckpts:
         start_epoch, latest = ckpts[-1]
         model.load_state_dict(torch.load(os.path.join(WORK, latest)))
-        print(f"resuming from epoch {start_epoch} ({latest})", flush=True)
+        # keep wall_seconds cumulative across restarts: resume from the last
+        # recorded value (the published trajectory feeds time-to-WER
+        # comparisons — a reset would understate the reference's wall-clock)
+        try:
+            for line in open(os.path.join(WORK, "progress.jsonl")):
+                rec = json.loads(line)
+                if "wall_seconds" in rec:
+                    wall_offset = max(wall_offset, rec["wall_seconds"])
+        except FileNotFoundError:
+            pass
+        print(f"resuming from epoch {start_epoch} ({latest}), "
+              f"wall offset {wall_offset:.0f}s", flush=True)
 
     trainer = Trainer(model, torch.device("cpu"))
 
@@ -127,14 +138,15 @@ def main() -> int:
     progress = os.path.join(WORK, "progress.jsonl")
     t0 = time.time()
     with open(progress, "a" if start_epoch else "w") as out:
-        out.write(json.dumps({
-            "config": {
-                "corpus": CORPUS, "speakers": SPEAKERS, "clips": len(ds),
-                "batch_size": BATCH, "steps_per_epoch": steps_per_epoch,
-                "lr": 1e-4, "seed": SEED, "max_sec": max_sec,
-                "optimizer": "reference Trainer (Adam 1e-4, CTC blank=0, clip 1.0)",
-            }}) + "\n")
-        out.flush()
+        if not start_epoch:
+            out.write(json.dumps({
+                "config": {
+                    "corpus": CORPUS, "speakers": SPEAKERS, "clips": len(ds),
+                    "batch_size": BATCH, "steps_per_epoch": steps_per_epoch,
+                    "lr": 1e-4, "seed": SEED, "max_sec": max_sec,
+                    "optimizer": "reference Trainer (Adam 1e-4, CTC blank=0, clip 1.0)",
+                }}) + "\n")
+            out.flush()
         for epoch in range(start_epoch + 1, max_epochs + 1):
             loss = trainer.train_epoch(loader)
             if epoch % every == 0 or time.time() - t0 > max_sec:
@@ -150,7 +162,7 @@ def main() -> int:
                     "epoch": epoch, "steps": epoch * steps_per_epoch,
                     "train_loss": round(loss, 5),
                     "train_wer": round(wer, 4), "train_cer": round(cer, 4),
-                    "wall_seconds": round(time.time() - t0, 1),
+                    "wall_seconds": round(wall_offset + time.time() - t0, 1),
                     "example_pred": preds[0], "example_true": targets[0],
                 }
                 out.write(json.dumps(rec) + "\n")
