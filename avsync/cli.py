@@ -838,6 +838,30 @@ def build_parser() -> argparse.ArgumentParser:
                              ".py); per-clip predictions that capture below-"
                              "average temporal motion fall back to the "
                              "heuristic crop")
+        perf(sp)
+
+    def perf(sp):
+        # on every subcommand: the backend-tuned defaults
+        # (_tuned_perf_defaults: bf16+pack4 on accelerators) apply to eval
+        # and inference too, so the opt-out must exist everywhere for
+        # "explicit flags always win" to hold
+        sp.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
+                        default=None,
+                        help="conv/GRU matmul dtype (params stay f32). "
+                             "Default: bfloat16 on TPU, float32 on CPU — "
+                             "the bench-tuned TPU config (bench.py)")
+        sp.add_argument("--packed_conv", action=argparse.BooleanOptionalAction,
+                        default=None,
+                        help="pack the 2x2 pool window into conv output "
+                             "channels where geometry allows (fills the "
+                             "MXU's 128 lanes, 4x smaller pre-pool HBM "
+                             "footprint; exact same math). Default: on for "
+                             "TPU, off for CPU")
+        sp.add_argument("--remat", action=argparse.BooleanOptionalAction,
+                        default=None,
+                        help="rematerialize the forward in backward (more "
+                             "FLOPs, O(1) activation memory). Default off — "
+                             "measured slower at the tuned batch size")
 
     t = sub.add_parser("train", help="LipNet CTC training")
     common(t)
@@ -864,22 +888,6 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--tensorboard", action="store_true", default=None,
                    help="write TensorBoard event files (train/ + validation/ "
                         "under --log_dir; no TF dependency)")
-    t.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
-                   default=None,
-                   help="conv/GRU matmul dtype (params stay f32). Default: "
-                        "bfloat16 on TPU, float32 on CPU — the bench-tuned "
-                        "TPU config (bench.py)")
-    t.add_argument("--packed_conv", action=argparse.BooleanOptionalAction,
-                   default=None,
-                   help="pack the 2x2 pool window into conv output channels "
-                        "where geometry allows (fills the MXU's 128 lanes, "
-                        "4x smaller pre-pool HBM footprint; exact same "
-                        "math). Default: on for TPU, off for CPU")
-    t.add_argument("--remat", action=argparse.BooleanOptionalAction,
-                   default=None,
-                   help="rematerialize the forward in backward (more FLOPs, "
-                        "O(1) activation memory). Default off — measured "
-                        "slower at the tuned batch size (bench.py)")
     t.add_argument("--device_cache", choices=["auto", "on", "off"],
                    default=None,
                    help="pin the preprocessed corpus in device memory from "
@@ -905,6 +913,7 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--config", type=str, default=None)
     i.add_argument("--model_family", choices=["pytorch", "tf"], default=None)
     i.add_argument("--beam", type=int, default=0)
+    perf(i)
     i.set_defaults(fn=cmd_infer)
 
     m = sub.add_parser("misalign-train", help="train the misalignment detector")

@@ -63,6 +63,12 @@ class DataConfig:
     # streams. Identical batch contents either way (tests/test_data.py).
     device_cache: str = "auto"
     device_cache_budget_mb: int = 4096
+    # Cache-gather formulation crossover: below this cache size the batch
+    # gather is an int8 one-hot matmul (MXU; reads the whole cache per
+    # batch), above it jnp.take (reads only the batch rows, but at the
+    # dynamic-gather HLO's poor bandwidth). Measured v5e crossover ~768 MB
+    # (PERF.md "Cache layout"). Both are bit-exact.
+    cache_gather_onehot_max_mb: int = 768
 
 
 @dataclass(frozen=True)

@@ -316,14 +316,26 @@ class LipNetBatcher:
         #     fully under a ~198 ms train step.
         clip_shape = vids[0].shape[1:]
 
+        # The one-hot matmul reads the WHOLE cache per batch (O(N*K) HBM
+        # traffic), while jnp.take reads only the B gathered rows but at the
+        # dynamic-gather HLO's poor effective bandwidth. Measured at the
+        # bench shapes: one-hot 124 ms for a 384 MB cache; take ~248 ms
+        # roughly independent of N. Crossover ~= 768 MB — above it, a
+        # budget-limit corpus under 'auto' would otherwise spend more time
+        # gathering (up to ~1.3 s/batch at 4 GB) than training.
+        n_clips = sum(int(v.shape[0]) for v in vids)
+        clip_bytes = 4 * int(np.prod(clip_shape))
+        max_mb = getattr(self.cfg.data, "cache_gather_onehot_max_mb", 768)
+        use_onehot = n_clips * clip_bytes <= max_mb * 2**20
+
         def gather(c, i):
-            oh = jax.nn.one_hot(i, c.shape[0], dtype=jnp.int8)
-            rows = jnp.dot(oh, c, preferred_element_type=jnp.int32)
-            return (
-                rows.astype(jnp.int8)
-                .view(jnp.float32)
-                .reshape((-1,) + clip_shape)
-            )
+            if use_onehot:
+                oh = jax.nn.one_hot(i, c.shape[0], dtype=jnp.int8)
+                rows = jnp.dot(oh, c, preferred_element_type=jnp.int32)
+                rows = rows.astype(jnp.int8)
+            else:
+                rows = jnp.take(c, i, axis=0)
+            return rows.view(jnp.float32).reshape((-1,) + clip_shape)
 
         def to_bytes(x):
             x = jnp.asarray(x, jnp.float32)

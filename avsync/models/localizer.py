@@ -123,9 +123,20 @@ def gate_boxes(
     replaced by `fallback` (the heuristic crop fractions). Fully static
     clips trivially pass (0 >= 0) and keep the model box, which is harmless.
 
+    Padded tail frames (all-zero, appended by the decoder when a clip is
+    shorter than max_video_length) are excluded from the variance: without
+    the mask the content-to-black transition dominates and the statistic
+    becomes a brightness comparator instead of a motion one, mis-gating
+    correct boxes over bright regions.
+
     clips: (B, T, H, W) f32; boxes: (B, 4) normalized; fallback: (4,).
     """
-    motion = clips.var(axis=1)  # (B, H, W) temporal variance per pixel
+    # valid-frame mask: a padded frame is exactly zero everywhere
+    valid = (clips != 0).any(axis=(2, 3))  # (B, T)
+    w = valid.astype(clips.dtype)[:, :, None, None]  # (B, T, 1, 1)
+    n = jnp.maximum(w.sum(axis=1), 1.0)  # (B, 1, 1)
+    mean = (clips * w).sum(axis=1) / n
+    motion = (((clips - mean[:, None]) ** 2) * w).sum(axis=1) / n  # (B, H, W)
     B, H, W = motion.shape
     yy = (jnp.arange(H, dtype=motion.dtype) + 0.5) / H
     xx = (jnp.arange(W, dtype=motion.dtype) + 0.5) / W

@@ -29,6 +29,22 @@ class CheckpointManager:
     def __init__(self, root: str, max_to_keep: Optional[int] = None):
         self.root = os.path.abspath(root)
         os.makedirs(self.root, exist_ok=True)
+        # Recover crash leftovers from interrupted same-step re-saves: a
+        # `.stale-<step>-<pid>` dir is the parked previous snapshot. If the
+        # step dir survived (replacement finished), the stale copy is
+        # garbage; if not, the stale copy IS the snapshot — restore it.
+        for name in os.listdir(self.root):
+            if not name.startswith(".stale-"):
+                continue
+            stale = os.path.join(self.root, name)
+            step_name = name.split("-")[1]
+            dst = os.path.join(self.root, step_name)
+            if os.path.isdir(dst):
+                import shutil
+
+                shutil.rmtree(stale, ignore_errors=True)
+            else:
+                os.rename(stale, dst)
         self._mgr = ocp.CheckpointManager(
             self.root,
             options=ocp.CheckpointManagerOptions(
@@ -65,14 +81,27 @@ class CheckpointManager:
                 k: (float(v) if np.isscalar(v) or hasattr(v, "item") else v)
                 for k, v in metrics.items()
             }
-        self._mgr.save(
-            step,
-            args=ocp.args.Composite(
-                state=ocp.args.StandardSave(state),
-                meta=ocp.args.JsonSave(meta),
-            ),
-        )
-        self._mgr.wait_until_finished()
+        try:
+            self._mgr.save(
+                step,
+                args=ocp.args.Composite(
+                    state=ocp.args.StandardSave(state),
+                    meta=ocp.args.JsonSave(meta),
+                ),
+            )
+            self._mgr.wait_until_finished()
+        except BaseException:
+            # replacement failed (disk full, interrupt): put the parked
+            # snapshot back so the step stays restorable without manual
+            # intervention
+            if stale is not None and os.path.isdir(stale):
+                import shutil
+
+                dst = os.path.join(self.root, str(step))
+                shutil.rmtree(dst, ignore_errors=True)  # partial replacement
+                os.rename(stale, dst)
+                self._mgr.reload()
+            raise
         if stale is not None:
             import shutil
 

@@ -425,10 +425,11 @@ def reference_detector(results):
     """Reference-side numbers for scenarios 5 and 3: the ACTUAL reference
     misalignment pipeline executed under the avsync librosa shim
     (scripts/run_reference_detector.py)."""
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "MPLBACKEND": "Agg"}
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # keep the TPU tunnel out of it
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts/run_reference_detector.py")],
-        capture_output=True, text=True, timeout=3600,
-        env={**os.environ, "JAX_PLATFORMS": "cpu", "MPLBACKEND": "Agg"},
+        capture_output=True, text=True, timeout=7200, env=env,
     )
     if proc.returncode != 0:
         raise RuntimeError(f"reference detector run failed:\n{proc.stderr[-2000:]}")

@@ -88,6 +88,12 @@ def phase_a_training() -> dict:
             test_auc = float(line.split("Test AUC:")[-1])
         if "Best val AUC:" in line:
             best_val = float(line.split("Best val AUC:")[-1])
+    # a missing summary line means the run did not complete (or the log
+    # format drifted) — refuse to publish a null headline number
+    assert test_auc is not None and best_val is not None, (
+        f"reference training log {log_dir}/{run} lacks the final "
+        "'Test AUC:'/'Best val AUC:' lines; not publishing a vacuous result"
+    )
     return {
         "hardware": "host CPU (torch), 1 core",
         "wall_seconds": round(wall, 1),

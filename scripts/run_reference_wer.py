@@ -47,7 +47,13 @@ SEED = 42
 
 
 def edit_distance(a, b) -> int:
-    """Plain Levenshtein over token sequences (words for WER, chars for CER)."""
+    """Plain Levenshtein over token sequences (words for WER, chars for CER).
+
+    Deliberately NOT imported from avsync.eval: this process must stay
+    jax-free (importing avsync pulls in jax + the axon TPU plugin, and this
+    long-lived niced CPU job must never touch the TPU tunnel). Comparability
+    is preserved because BOTH sides of the head-to-head score with THIS
+    function — scripts/run_wer_headhead.py imports wer_cer from here."""
     prev = list(range(len(b) + 1))
     for i, x in enumerate(a, 1):
         cur = [i]

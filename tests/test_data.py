@@ -232,6 +232,26 @@ class TestDeviceCache:
                 )
                 np.testing.assert_array_equal(x["video"], y["video"])
 
+    def test_take_branch_above_onehot_crossover(self, tmp_path):
+        """Caches above cache_gather_onehot_max_mb gather with jnp.take
+        instead of the one-hot matmul (which reads the whole cache per
+        batch) — contents must stay bit-identical either way."""
+        root, cfg = self._corpus_cfg(tmp_path, "on")
+        import dataclasses
+
+        forced = dataclasses.replace(
+            cfg, data=dataclasses.replace(
+                cfg.data, cache_gather_onehot_max_mb=0
+            )
+        )
+        a = self._collect(LipNetBatcher(GridDataSource(root), cfg),
+                          shuffle=True, seed=5, drop_last=False)
+        b_batcher = LipNetBatcher(GridDataSource(root), forced)
+        b = self._collect(b_batcher, shuffle=True, seed=5, drop_last=False)
+        assert b_batcher._device_cache is not None
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x["video"], y["video"])
+
     def test_off_never_caches(self, tmp_path):
         root, cfg = self._corpus_cfg(tmp_path, "off")
         b = LipNetBatcher(GridDataSource(root), cfg)
