@@ -130,7 +130,17 @@ def main() -> int:
     if args.update_baseline:
         path = os.path.join(REPO, "BASELINE.json")
         doc = json.load(open(path))
-        doc.setdefault("published", {})["shift_sweep_auroc_hard"] = entry
+        prior = doc.setdefault("published", {}).get(
+            "shift_sweep_auroc_hard", {}
+        )
+        # preserve annotations added outside this driver (seed-sensitivity
+        # studies, verdict notes) across refreshes
+        for key, val in prior.items():
+            entry.setdefault(key, val)
+        for side in ("avsync", "reference"):
+            for key, val in prior.get(side, {}).items():
+                entry[side].setdefault(key, val)
+        doc["published"]["shift_sweep_auroc_hard"] = entry
         with open(path, "w") as f:
             json.dump(doc, f, indent=2)
         print(f"merged shift_sweep_auroc_hard into {path}")
