@@ -405,6 +405,8 @@ def scenario_3_shift_sweep(results, pth, det):
         "misalign-eval", "--data_path", CORPUS, "--checkpoint", pth,
         "--detector_checkpoint", det, "--min_shift", "5",
         "--max_shift", "20", "--output", out_json,
+        # same sign-draw stream as run_reference_detector.phase_b_sweep
+        "--seed", "0",
     ])
     wall = time.time() - t0
     sweep = json.load(open(out_json))
