@@ -325,7 +325,7 @@ class LipNetBatcher:
         # gathering (up to ~1.3 s/batch at 4 GB) than training.
         n_clips = sum(int(v.shape[0]) for v in vids)
         clip_bytes = 4 * int(np.prod(clip_shape))
-        max_mb = getattr(self.cfg.data, "cache_gather_onehot_max_mb", 768)
+        max_mb = self.cfg.data.cache_gather_onehot_max_mb
         use_onehot = n_clips * clip_bytes <= max_mb * 2**20
 
         def gather(c, i):

@@ -255,13 +255,23 @@ class LipNetTrainer:
         discipline bench.py's epoch loop uses. The epoch-end fetch is the
         honest device sync."""
         lr = np.float32(self.current_lr)
-        pending = []  # per-step device metrics, fetched after the loop
+        # Bounded-lag pipeline: keep at most LAG steps in flight. Zero
+        # backpressure would let the host enqueue the whole epoch and pin
+        # every in-flight batch in HBM (~192 MB each at bench shapes — a
+        # near-budget corpus would OOM); fetching the loss LAG steps back
+        # bounds in-flight memory while still overlapping input-pipeline
+        # work with training, and surfaces a failing step within LAG steps.
+        LAG = 4
+        pending, losses = [], []
         for batch in loader:
             state, metrics = self.compiled["train"](
                 state, self._device_batch(batch), self.rng, lr
             )
             pending.append(metrics)
-        losses = [float(m["loss"]) for m in pending]  # device sync
+            if len(pending) - len(losses) > LAG:
+                losses.append(float(pending[len(losses)]["loss"]))
+        while len(losses) < len(pending):  # drain: the epoch-end sync
+            losses.append(float(pending[len(losses)]["loss"]))
         if metrics_writer is not None:
             # step numbers reconstructed from the final step counter
             first = int(state.step) - len(pending) + 1

@@ -22,8 +22,9 @@ class CheckpointManager:
     """Thin Orbax wrapper: save/restore pytrees + config metadata.
 
     Directory layout: <root>/<step>/  (Orbax composite: 'state' pytree +
-    'meta' JSON). `save_final` writes step -1 as the terminal snapshot
-    (the reference's `lipnet_final.pth` analogue, `trainer.py:156`).
+    'meta' JSON). The trainer writes the terminal snapshot as step
+    final_epoch+1 (the reference's `lipnet_final.pth` analogue,
+    `trainer.py:156`).
     """
 
     def __init__(self, root: str, max_to_keep: Optional[int] = None):
@@ -33,11 +34,21 @@ class CheckpointManager:
         # `.stale-<step>-<pid>` dir is the parked previous snapshot. If the
         # step dir survived (replacement finished), the stale copy is
         # garbage; if not, the stale copy IS the snapshot — restore it.
+        # Guards: skip dirs whose owner pid is still alive (a read-only
+        # consumer opening a live training run must not race the writer's
+        # in-flight re-save), and rsplit so step names that themselves
+        # contain '-' parse correctly.
         for name in os.listdir(self.root):
             if not name.startswith(".stale-"):
                 continue
             stale = os.path.join(self.root, name)
-            step_name = name.split("-")[1]
+            try:
+                step_name, pid = name[len(".stale-"):].rsplit("-", 1)
+                int(step_name)  # must be a step directory name
+            except ValueError:
+                continue
+            if not step_name or os.path.exists(f"/proc/{pid}"):
+                continue  # owner still running — not ours to reclaim
             dst = os.path.join(self.root, step_name)
             if os.path.isdir(dst):
                 import shutil

@@ -72,10 +72,7 @@ def run_reference_training():
     link = os.path.join(REF_DIR, "data")
     if not os.path.exists(link):
         os.symlink(CORPUS, link)
-    env = dict(os.environ)
-    env.pop("PALLAS_AXON_POOL_IPS", None)  # keep the TPU tunnel out of it
-    env["JAX_PLATFORMS"] = "cpu"
-    env["MPLBACKEND"] = "Agg"
+    env = reference_env()
     t0 = time.time()
     proc = subprocess.run(
         [sys.executable, "/root/reference/main.py"],
@@ -100,6 +97,17 @@ def cli(args):
 
     rc = main(args)
     assert rc == 0, f"avsync cli failed: {args}"
+
+
+def reference_env():
+    """Environment for CPU-pinned reference subprocesses: force the CPU
+    backend and scrub the TPU-tunnel pool var so a reference run can never
+    attach (or wedge) the tunnel held by the avsync side. Shared by every
+    driver that shells out to reference code (run_hard_sweep.py imports
+    this) so the scrub list cannot drift."""
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "MPLBACKEND": "Agg"}
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    return env
 
 
 # Canonical avsync-side training invocations for the baseline protocol.
@@ -427,8 +435,7 @@ def reference_detector(results):
     """Reference-side numbers for scenarios 5 and 3: the ACTUAL reference
     misalignment pipeline executed under the avsync librosa shim
     (scripts/run_reference_detector.py)."""
-    env = {**os.environ, "JAX_PLATFORMS": "cpu", "MPLBACKEND": "Agg"}
-    env.pop("PALLAS_AXON_POOL_IPS", None)  # keep the TPU tunnel out of it
+    env = reference_env()
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts/run_reference_detector.py")],
         capture_output=True, text=True, timeout=7200, env=env,

@@ -43,7 +43,8 @@ sys.path.insert(
 
 from run_baselines import (  # noqa: E402
     AV_DIR, CORPUS, REF_DIR, REPO, WORK, cli, ensure_corpora,
-    run_reference_training, train_avsync_detector, train_avsync_lipnet,
+    reference_env, run_reference_training, train_avsync_detector,
+    train_avsync_lipnet,
 )
 
 HARD_JSON = os.path.join(WORK, "reference_detector_hard.json")
@@ -93,8 +94,7 @@ def reference_hard_sweep() -> dict:
             os.path.join(REPO, "scripts/run_reference_detector.py"), "--hard"]
     if os.path.exists(det_pth):
         args.append("--skip-training")
-    env = {**os.environ, "JAX_PLATFORMS": "cpu", "MPLBACKEND": "Agg"}
-    env.pop("PALLAS_AXON_POOL_IPS", None)  # keep the TPU tunnel out of it
+    env = reference_env()
     proc = subprocess.run(args, capture_output=True, text=True,
                           timeout=7200, env=env)
     if proc.returncode != 0:

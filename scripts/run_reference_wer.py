@@ -124,7 +124,10 @@ def main() -> int:
         # comparisons — a reset would understate the reference's wall-clock)
         try:
             for line in open(os.path.join(WORK, "progress.jsonl")):
-                rec = json.loads(line)
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue  # truncated tail line from a mid-write crash
                 if "wall_seconds" in rec:
                     wall_offset = max(wall_offset, rec["wall_seconds"])
         except FileNotFoundError:

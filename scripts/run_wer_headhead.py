@@ -41,7 +41,12 @@ AV_PROGRESS = os.path.join(WORK, "avsync_progress.jsonl")
 
 
 def read_ref():
-    recs = [json.loads(l) for l in open(REF_PROGRESS)]
+    recs = []
+    for line in open(REF_PROGRESS):
+        try:
+            recs.append(json.loads(line))
+        except ValueError:
+            continue  # truncated tail line from a mid-write crash
     cfg = recs[0]["config"]
     return cfg, [r for r in recs[1:] if "epoch" in r]
 
