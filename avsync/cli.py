@@ -488,15 +488,65 @@ def cmd_infer(args) -> int:
 # misalign-train
 # ---------------------------------------------------------------------------
 
-def _build_bank(cfg: AvsyncConfig, src, model, params, video_paths):
-    """Feature bank for an ordered list of video paths."""
+def _bank_cache_path(cfg: AvsyncConfig, video_paths, checkpoint, cache_dir):
+    """(path, key) for a cached FeatureBank, or (None, key) when disabled.
+
+    The key fingerprints every input the bank is a pure function of: the
+    ordered clip list with per-file (size, mtime), the frozen-LipNet
+    checkpoint stat, and the geometry/audio config fields that shape the
+    features. Any change misses cleanly and the bank is rebuilt."""
+    import hashlib
+
+    def stat(p):
+        try:
+            st = os.stat(p)
+            return [p, st.st_size, st.st_mtime_ns]
+        except OSError:
+            return [p, -1, -1]
+
+    key_doc = {
+        "videos": [stat(p) for p in video_paths],
+        "checkpoint": stat(checkpoint) if checkpoint else None,
+        "audio": [cfg.audio.sample_rate, cfg.audio.n_mfcc,
+                  cfg.audio.max_audio_samples],
+        "geometry": [cfg.data.img_height, cfg.data.img_width,
+                     cfg.data.max_video_length, cfg.data.roi_mode,
+                     cfg.data.standardize_clips],
+        "model": [cfg.model.family, tuple(cfg.model.conv_channels),
+                  cfg.model.compute_dtype, cfg.model.packed_conv],
+    }
+    key = hashlib.sha256(
+        json.dumps(key_doc, sort_keys=True).encode()
+    ).hexdigest()
+    if not cache_dir:
+        return None, key
+    return os.path.join(cache_dir, f"bank_{key[:16]}.npz"), key
+
+
+def _build_bank(cfg: AvsyncConfig, src, model, params, video_paths,
+                checkpoint=None, cache_dir=None):
+    """Feature bank for an ordered list of video paths.
+
+    With cache_dir set, the bank round-trips through an .npz keyed by the
+    inputs' stat fingerprints — repeat sweeps over an unchanged corpus skip
+    the conv-feature extraction entirely."""
     import jax.numpy as jnp
 
     from avsync.data import LipNetBatcher
     from avsync.data.grid import GridDataSource
     from avsync.data.video import get_video_fps, load_audio_for_video
-    from avsync.features import build_feature_bank
+    from avsync.features import (
+        build_feature_bank,
+        load_feature_bank,
+        save_feature_bank,
+    )
     from avsync.ops.audio import resample_host
+
+    cache_path, key = _bank_cache_path(cfg, video_paths, checkpoint, cache_dir)
+    if cache_path is not None:
+        bank = load_feature_bank(cache_path, key)
+        if bank is not None:
+            return bank
 
     # restrict the source to the chosen paths, in order
     sub = GridDataSource.__new__(GridDataSource)
@@ -514,7 +564,10 @@ def _build_bank(cfg: AvsyncConfig, src, model, params, video_paths):
             a = resample_host(a, sr, cfg.audio.sample_rate)
         audio_list.append(a)
         fps_list.append(get_video_fps(p, cfg.detector.default_fps))
-    return build_feature_bank(model, params, clips, audio_list, fps_list, cfg)
+    bank = build_feature_bank(model, params, clips, audio_list, fps_list, cfg)
+    if cache_path is not None:
+        save_feature_bank(cache_path, bank, key)
+    return bank
 
 
 def cmd_misalign_train(args) -> int:
@@ -559,7 +612,11 @@ def cmd_misalign_train(args) -> int:
 
     banks = {}
     for name, paths in (("train", train_p), ("val", val_p), ("test", test_p)):
-        banks[name] = _build_bank(cfg, src, model, params, paths)
+        banks[name] = _build_bank(
+            cfg, src, model, params, paths,
+            checkpoint=args.checkpoint,
+            cache_dir=getattr(args, "bank_cache", None),
+        )
     logger.log("Feature banks built (device-resident)")
 
     from avsync.compat import save_detector_pth
@@ -687,24 +744,30 @@ def cmd_misalign_eval(args) -> int:
     paths = [s.video_path for s in src.samples]
     if args.max_samples:
         paths = paths[: args.max_samples]
-    bank = _build_bank(cfg, src, lip_model, lip_params, paths)
+    bank = _build_bank(cfg, src, lip_model, lip_params, paths,
+                       checkpoint=args.checkpoint,
+                       cache_dir=getattr(args, "bank_cache", None))
     n = len(paths)
 
+    # one jitted program for the whole gather->MFCC->detector chain: the
+    # eager variant dispatched ~50 individually-compiled ops over the
+    # tunnel (40 s of first-call warmup measured on the 24-clip corpus);
+    # fused it is a single executable, reused for every shift magnitude
+    # and shared across CLI invocations via the persistent compile cache
     score = jax.jit(
-        lambda f: jax.nn.sigmoid(det_model.apply({"params": det_params}, f))
+        lambda vi, sh: jax.nn.sigmoid(det_model.apply(
+            {"params": det_params},
+            gather_features(bank, vi, sh, cfg.audio),
+        ))
     )
     idx = jnp.arange(n, dtype=jnp.int32)
-    aligned = np.asarray(
-        score(gather_features(bank, idx, jnp.zeros(n, jnp.int32), cfg.audio))
-    )
+    aligned = np.asarray(score(idx, jnp.zeros(n, jnp.int32)))
     results = {}
     all_scores, all_labels = [aligned], [np.ones(n)]
     rng = np.random.default_rng(args.seed)
     for s in range(args.min_shift, args.max_shift + 1):
         signs = rng.choice([-1, 1], size=n).astype(np.int32)
-        shifted = np.asarray(
-            score(gather_features(bank, idx, jnp.asarray(signs * s), cfg.audio))
-        )
+        shifted = np.asarray(score(idx, jnp.asarray(signs * s)))
         labels = np.concatenate([np.ones(n), np.zeros(n)])
         scores = np.concatenate([aligned, shifted])
         results[str(s)] = float(
@@ -934,6 +997,10 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--log_dir", type=str, default="logs")
     m.add_argument("--verbose", action="store_true")
     m.add_argument("--save_every", type=int, default=5)
+    m.add_argument("--bank_cache", type=str, default=None,
+                   help="directory for persisted FeatureBanks (keyed by "
+                        "corpus+checkpoint fingerprints); repeat runs over "
+                        "an unchanged corpus skip feature extraction")
     m.set_defaults(fn=cmd_misalign_train)
 
     e = sub.add_parser("misalign-eval",
@@ -946,6 +1013,9 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--max_shift", type=int, default=20)
     e.add_argument("--max_samples", type=int, default=None)
     e.add_argument("--output", type=str, default=None)
+    e.add_argument("--bank_cache", type=str, default=None,
+                   help="directory for persisted FeatureBanks (see "
+                        "misalign-train --bank_cache)")
     e.set_defaults(fn=cmd_misalign_eval)
 
     d = sub.add_parser("misalign-demo", help="export annotated demo videos")
@@ -963,6 +1033,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+    # Persist compiled XLA executables across CLI invocations: at small
+    # corpus scale compilation IS the wall-clock (see utils/compile_cache.py)
+    from avsync.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     return args.fn(args)
 
 

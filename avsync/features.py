@@ -57,6 +57,21 @@ class FeatureBank(NamedTuple):
     fps: jax.Array  # (N,)
 
 
+# jitted visual-stats extractors, one per LipNet geometry: a fresh
+# jax.jit(closure) per bank build would retrace/recompile on every call
+# (misalign-train builds three banks — train/val/test), while the memoized
+# fn compiles once per process and hits the persistent cache across
+# processes (flax modules are frozen dataclasses, hashable by field values)
+_VFN_CACHE: dict = {}
+
+
+def _jitted_visual_stats(model: LipNet):
+    fn = _VFN_CACHE.get(model)
+    if fn is None:
+        fn = _VFN_CACHE[model] = jax.jit(visual_stats_fn(model))
+    return fn
+
+
 def build_feature_bank(
     model: LipNet,
     params,
@@ -71,7 +86,7 @@ def build_feature_bank(
     concatenation covers all N videos in order (e.g. LipNetBatcher.epoch with
     shuffle=False). audio_list/fps_list: per-video mono 16 kHz audio + fps.
     """
-    vfn = jax.jit(visual_stats_fn(model))
+    vfn = _jitted_visual_stats(model)
     vis_parts = []
     for batch in clips_iter:
         clips = batch["video"] if isinstance(batch, dict) else batch
@@ -93,6 +108,55 @@ def build_feature_bank(
         audio_lengths=jnp.asarray(lengths),
         fps=jnp.asarray(np.asarray(fps_list, np.float32)),
     )
+
+
+def save_feature_bank(path: str, bank: FeatureBank, key: str) -> None:
+    """Persist a bank to .npz (crash-safe rename) with its validity key.
+
+    The key fingerprints everything the bank depends on (video paths, the
+    frozen-LipNet checkpoint stat, audio config, geometry) — see
+    cli._bank_cache_path. Stale keys simply miss on load."""
+    import os
+    import tempfile
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
+                               suffix=".npz.tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(
+                f,
+                key=np.asarray(key),
+                visual=np.asarray(bank.visual),
+                audio=np.asarray(bank.audio),
+                audio_lengths=np.asarray(bank.audio_lengths),
+                fps=np.asarray(bank.fps),
+            )
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_feature_bank(path: str, key: str) -> "FeatureBank | None":
+    """Load a saved bank if present and its key matches; else None."""
+    import os
+
+    if not os.path.exists(path):
+        return None
+    try:
+        with np.load(path, allow_pickle=False) as z:
+            if str(z["key"]) != key:
+                return None
+            return FeatureBank(
+                visual=jnp.asarray(z["visual"]),
+                audio=jnp.asarray(z["audio"]),
+                audio_lengths=jnp.asarray(z["audio_lengths"]),
+                fps=jnp.asarray(z["fps"]),
+            )
+    except (OSError, ValueError, KeyError):  # corrupt/partial file
+        return None
 
 
 def gather_features(

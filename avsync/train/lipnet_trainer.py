@@ -262,24 +262,36 @@ class LipNetTrainer:
         # bounds in-flight memory while still overlapping input-pipeline
         # work with training, and surfaces a failing step within LAG steps.
         LAG = 4
+        # one sync at epoch start (the previous epoch already drained), so
+        # step numbers are known before the loop and each metrics record can
+        # be written the moment its step drains — a mid-epoch crash loses at
+        # most LAG records and live TensorBoard lags LAG steps, not an epoch
+        step0 = int(state.step)
         pending, losses = [], []
+
+        def drain_one():
+            i = len(losses)
+            m = pending[i]
+            loss = float(m["loss"])  # the LAG-delayed device fetch
+            losses.append(loss)
+            if metrics_writer is not None:
+                # grad_norm rides the same drained metrics dict — no extra
+                # device sync beyond the loss fetch
+                metrics_writer.write(
+                    step0 + i + 1, loss=loss,
+                    grad_norm=float(m["grad_norm"]), lr=float(lr),
+                )
+            pending[i] = None  # release the device buffers promptly
+
         for batch in loader:
             state, metrics = self.compiled["train"](
                 state, self._device_batch(batch), self.rng, lr
             )
             pending.append(metrics)
             if len(pending) - len(losses) > LAG:
-                losses.append(float(pending[len(losses)]["loss"]))
+                drain_one()
         while len(losses) < len(pending):  # drain: the epoch-end sync
-            losses.append(float(pending[len(losses)]["loss"]))
-        if metrics_writer is not None:
-            # step numbers reconstructed from the final step counter
-            first = int(state.step) - len(pending) + 1
-            for i, m in enumerate(pending):
-                metrics_writer.write(
-                    first + i, loss=losses[i],
-                    grad_norm=float(m["grad_norm"]), lr=float(lr),
-                )
+            drain_one()
         return state, sum(losses) / max(len(losses), 1)
 
     def validate(self, state: TrainState, loader: Iterable) -> float:

@@ -18,6 +18,33 @@ import orbax.checkpoint as ocp
 from avsync.config import AvsyncConfig
 
 
+def _owner_alive(pid: str, stale_dir: str) -> bool:
+    """Is the process that parked `stale_dir` still running?
+
+    A bare /proc/<pid> existence check is fooled by pid reuse: an unrelated
+    process inheriting the pid would keep the parked snapshot unreclaimable
+    forever (and a missing step dir then silently loses that step). Guard:
+    the owner parked the dir at (about) the dir's mtime, so a live process
+    whose start time POSTDATES the mtime cannot be the owner.
+    """
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            stat = f.read()
+        # field 22 (1-indexed) is starttime in clock ticks since boot; the
+        # comm field (2) may contain spaces/parens, so split after the ')'
+        start_ticks = int(stat.rsplit(")", 1)[1].split()[19])
+        with open("/proc/stat") as f:
+            btime = next(
+                int(line.split()[1]) for line in f if line.startswith("btime")
+            )
+        start_epoch = btime + start_ticks / os.sysconf("SC_CLK_TCK")
+        # 5 s slack: the dir is renamed moments after the process starts at
+        # the earliest, never before
+        return start_epoch <= os.path.getmtime(stale_dir) + 5.0
+    except (OSError, ValueError, IndexError, StopIteration):
+        return False  # no such pid (or unreadable stat) — owner is gone
+
+
 class CheckpointManager:
     """Thin Orbax wrapper: save/restore pytrees + config metadata.
 
@@ -47,7 +74,7 @@ class CheckpointManager:
                 int(step_name)  # must be a step directory name
             except ValueError:
                 continue
-            if not step_name or os.path.exists(f"/proc/{pid}"):
+            if not step_name or _owner_alive(pid, stale):
                 continue  # owner still running — not ours to reclaim
             dst = os.path.join(self.root, step_name)
             if os.path.isdir(dst):
@@ -82,6 +109,10 @@ class CheckpointManager:
             if src is not None:
                 stale = os.path.join(self.root, f".stale-{step}-{os.getpid()}")
                 os.rename(src, stale)
+                # stamp the park moment (rename preserves the dir's original
+                # save-time mtime): _owner_alive compares the owner's start
+                # time against THIS timestamp to detect pid reuse
+                os.utime(stale)
                 self._mgr.reload()
             else:  # step tracked but dir missing: fall back to orbax delete
                 self._mgr.delete(step)

@@ -1,0 +1,265 @@
+"""Production-scale misalignment-detector head-to-head (VERDICT r3 Next #1b).
+
+Runs the reference's OWN production operating point — 3,300 samples, 20
+epochs, ±20-frame shifts, hidden 512, batch 64
+(`/root/reference/run_train_misalignment.sh:31-41`) — on both stacks over
+the same synthetic corpus and the same frozen LipNet .pth:
+
+  reference — the UNMODIFIED `misalignment_detection_train.py` under the
+              avsync librosa shim, torch CPU (its MFCCs are recomputed per
+              sample per epoch — `build_feature`, reference
+              misalignment_detection_train.py:199-208 — so its cost scales
+              with epochs × samples);
+  avsync    — `avsync misalign-train` on TPU: one batched FeatureBank build,
+              then per-epoch on-device shift→MFCC→stats gathers.
+
+Phases are separately invocable so the multi-hour reference run can live in
+a background job:
+
+  python scripts/run_production_detector.py corpus      # build 3300 clips
+  python scripts/run_production_detector.py reference   # torch CPU (hours)
+  python scripts/run_production_detector.py avsync      # TPU (minutes)
+  python scripts/run_production_detector.py publish     # -> BASELINE.json
+
+Results land in /tmp/avsync_prod/*.json; `publish` merges a
+`detector_training_production` scenario into BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+WORK = "/tmp/avsync_prod"
+CORPUS = os.path.join(WORK, "corpus")
+REF_OUT = os.path.join(WORK, "reference_prod.json")
+AV_OUT = os.path.join(WORK, "avsync_prod.json")
+LIPNET_PTH = "/tmp/avsync_baselines/avsync_run/lipnet_final.pth"
+
+N_SPEAKERS, CLIPS_PER = 30, 110  # 3300 clips — the reference's --max_samples
+PROD_FLAGS = {
+    "max_samples": 3300, "epochs": 20, "max_shift_frames": 20,
+    "hidden_dim": 512, "batch_size": 64, "save_every": 5, "seed": 42,
+}
+
+
+def ensure_corpus() -> None:
+    from avsync.data import synthetic
+
+    done = os.path.join(WORK, ".corpus_done")
+    if os.path.exists(done):
+        return
+    print(f"writing {N_SPEAKERS * CLIPS_PER}-clip corpus to {CORPUS} ...",
+          flush=True)
+    t0 = time.time()
+    synthetic.write_corpus(
+        CORPUS, n_speakers=N_SPEAKERS, clips_per_speaker=CLIPS_PER,
+        preprocessed=True, seed=44,
+    )
+    open(done, "w").write("ok\n")
+    print(f"corpus done in {time.time() - t0:.0f}s", flush=True)
+
+
+def ensure_lipnet() -> str:
+    """Both stacks share one frozen LipNet .pth (the protocol's backbone)."""
+    if os.path.exists(LIPNET_PTH):
+        return LIPNET_PTH
+    from run_baselines import train_avsync_lipnet
+
+    os.makedirs(os.path.dirname(LIPNET_PTH), exist_ok=True)
+    train_avsync_lipnet(LIPNET_PTH,
+                        os.path.join(os.path.dirname(LIPNET_PTH),
+                                     "lipnet_ckpts"))
+    return LIPNET_PTH
+
+
+def run_reference() -> dict:
+    """The unmodified reference training script, production flags, CPU."""
+    from run_baselines import reference_env
+
+    ensure_corpus()
+    pth = ensure_lipnet()
+    ref_dir = os.path.join(WORK, "reference_run")
+    os.makedirs(ref_dir, exist_ok=True)
+    det_pth = os.path.join(ref_dir, "misalignment_detector.pth")
+    log_dir = os.path.join(ref_dir, "det_logs")
+    runner = os.path.join(WORK, "_ref_runner.py")
+    # tiny run_path shim so the reference executes verbatim under the
+    # librosa-compat module with the production argv
+    with open(runner, "w") as f:
+        f.write(
+            "import runpy, sys\n"
+            f"sys.path.insert(0, {REPO!r})\n"
+            "import avsync.compat_librosa as shim\n"
+            "sys.modules['librosa'] = shim\n"
+            "sys.modules['librosa.feature'] = shim.feature\n"
+            "sys.path.insert(0, '/root/reference')\n"
+            "sys.argv = ['misalignment_detection_train.py',\n"
+            f"  '--data_path', {CORPUS!r}, '--checkpoint', {pth!r},\n"
+            f"  '--detector_checkpoint', {det_pth!r},\n"
+            f"  '--log_dir', {log_dir!r},\n"
+        )
+        for k, v in PROD_FLAGS.items():
+            if k != "save_every":
+                f.write(f"  '--{k}', '{v}',\n")
+        f.write("  '--save_every', '1000',\n")  # skip per-5-epoch .pth spam
+        f.write(
+            "]\n"
+            "runpy.run_path("
+            "'/root/reference/misalignment_detection_train.py', "
+            "run_name='__main__')\n"
+        )
+    t0 = time.time()
+    proc = subprocess.run([sys.executable, runner], env=reference_env(),
+                          capture_output=True, text=True, timeout=11 * 3600)
+    wall = time.time() - t0
+    if proc.returncode != 0:
+        raise RuntimeError(f"reference prod run failed "
+                           f"rc={proc.returncode}:\n{proc.stderr[-3000:]}")
+    run = sorted(os.listdir(log_dir))[-1]
+    log = open(os.path.join(log_dir, run, "training.log")).read()
+    test_auc = best_val = None
+    for line in log.splitlines():
+        if "Test AUC:" in line:
+            test_auc = float(line.split("Test AUC:")[-1])
+        if "Best val AUC:" in line:
+            best_val = float(line.split("Best val AUC:")[-1])
+    assert test_auc is not None, "reference log lacks final Test AUC"
+    out = {
+        "hardware": "host CPU (torch), 1 core",
+        "wall_seconds": round(wall, 1),
+        "test_auroc": test_auc,
+        "best_val_auroc": best_val,
+        "provenance": "unmodified misalignment_detection_train.py under "
+                      "avsync/compat_librosa.py, production flags from "
+                      "run_train_misalignment.sh",
+    }
+    with open(REF_OUT, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def run_avsync() -> dict:
+    """`avsync misalign-train`, production flags, TPU; cold then warm.
+
+    cold = fresh process, empty compile/bank caches (what a first-ever
+    deployment pays); warm = fresh process, persistent compile cache +
+    feature-bank cache hot (what every subsequent run pays — the reference
+    has no analogous split, its wall is identical either way).
+    """
+    ensure_corpus()
+    pth = ensure_lipnet()
+    det = os.path.join(WORK, "avsync_detector.pth")
+    log_dir = os.path.join(WORK, "avsync_det_logs")
+    bank_cache = os.path.join(WORK, "bank_cache")
+    cc_dir = os.path.join(WORK, "compile_cache")
+
+    def once(tag):
+        cmd = [sys.executable, "-m", "avsync.cli", "misalign-train",
+               "--data_path", CORPUS, "--checkpoint", pth,
+               "--detector_checkpoint", det, "--log_dir", log_dir,
+               "--bank_cache", bank_cache]
+        for k, v in PROD_FLAGS.items():
+            cmd += [f"--{k}", str(v)]
+        env = {**os.environ, "AVSYNC_COMPILE_CACHE": cc_dir}
+        t0 = time.time()
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=3 * 3600, env=env, cwd=REPO)
+        wall = time.time() - t0
+        if proc.returncode != 0:
+            raise RuntimeError(f"avsync prod run ({tag}) failed:\n"
+                               f"{proc.stderr[-3000:]}")
+        run = sorted(os.listdir(log_dir))[-1]
+        log = open(os.path.join(log_dir, run, "training.log")).read()
+        test_auc = best_val = None
+        for line in log.splitlines():
+            if "Test AUC:" in line:
+                test_auc = float(line.split("Test AUC:")[-1])
+            if "Best val AUC:" in line:
+                best_val = float(line.split("Best val AUC:")[-1])
+        assert test_auc is not None, f"avsync log lacks Test AUC ({tag})"
+        return {"wall_seconds": round(wall, 1), "test_auroc": test_auc,
+                "best_val_auroc": best_val}
+
+    import shutil
+
+    for d in (bank_cache, cc_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    cold = once("cold")
+    warm = once("warm")
+    out = {
+        "hardware": "1x TPU v5e (axon)",
+        "wall_seconds": warm["wall_seconds"],
+        "wall_seconds_cold": cold["wall_seconds"],
+        "test_auroc": warm["test_auroc"],
+        "best_val_auroc": warm["best_val_auroc"],
+        "test_auroc_cold": cold["test_auroc"],
+        "note": "cold = first-ever invocation (XLA compile + feature-bank "
+                "build); warm = persistent compile cache + bank cache hot, "
+                "the steady-state deployment cost. Both are fresh processes.",
+    }
+    with open(AV_OUT, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def publish() -> None:
+    ref = json.load(open(REF_OUT)) if os.path.exists(REF_OUT) else None
+    av = json.load(open(AV_OUT)) if os.path.exists(AV_OUT) else None
+    assert av is not None, "run the avsync side first"
+    entry = {
+        "scenario": "misalignment detector training at the reference's own "
+                    "production operating point "
+                    "(run_train_misalignment.sh:31-41): 3300 clips, 20 "
+                    "epochs, ±20-frame shifts, hidden 512, batch 64, "
+                    "shared frozen LipNet backbone",
+        "corpus": f"synthetic, {N_SPEAKERS} speakers x {CLIPS_PER} clips, "
+                  "75x50x100, seed 44",
+        "avsync": av,
+    }
+    if ref is not None:
+        entry["reference"] = ref
+        entry["speedup_wall"] = round(
+            ref["wall_seconds"] / av["wall_seconds"], 1
+        )
+        entry["speedup_wall_cold"] = round(
+            ref["wall_seconds"] / av["wall_seconds_cold"], 1
+        )
+    path = os.path.join(REPO, "BASELINE.json")
+    doc = json.load(open(path))
+    doc.setdefault("published", {})["detector_training_production"] = entry
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=2)
+    print(f"published detector_training_production -> {path}")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("phase",
+                    choices=["corpus", "reference", "avsync", "publish"])
+    args = ap.parse_args()
+    os.makedirs(WORK, exist_ok=True)
+    if args.phase == "corpus":
+        ensure_corpus()
+        ensure_lipnet()
+    elif args.phase == "reference":
+        run_reference()
+    elif args.phase == "avsync":
+        run_avsync()
+    else:
+        publish()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -109,7 +109,11 @@ def main() -> int:
     # Resume from the newest checkpoint if one exists (the job is long-lived
     # and must survive driver restarts; Adam state is rebuilt fresh, which
     # costs a brief re-warmup but keeps the checkpoint format the reference's
-    # own plain state_dict).
+    # own plain state_dict). Note the RNG caveat too: the global seeds above
+    # replay the epoch-1 DataLoader-shuffle/dropout streams after every
+    # restart, so a resumed trajectory is not bit-equal to an uninterrupted
+    # run — acceptable for the wall-clock/WER comparison, which measures
+    # optimization progress, not a specific stream.
     start_epoch, wall_offset = 0, 0.0
     ckpts = sorted(
         (int(f.split("epoch")[1].split(".")[0]), f)
@@ -146,8 +150,14 @@ def main() -> int:
 
     progress = os.path.join(WORK, "progress.jsonl")
     t0 = time.time()
-    with open(progress, "a" if start_epoch else "w") as out:
-        if not start_epoch:
+    # Gate the header on the progress FILE (not on start_epoch): on resume
+    # with checkpoints present but progress.jsonl missing/empty, the config
+    # header must still be written or read_ref() has no recs[0]["config"].
+    need_header = not (
+        os.path.exists(progress) and os.path.getsize(progress) > 0
+    )
+    with open(progress, "w" if need_header else "a") as out:
+        if need_header:
             out.write(json.dumps({
                 "config": {
                     "corpus": CORPUS, "speakers": SPEAKERS, "clips": len(ds),
@@ -158,7 +168,9 @@ def main() -> int:
             out.flush()
         for epoch in range(start_epoch + 1, max_epochs + 1):
             loss = trainer.train_epoch(loader)
-            if epoch % every == 0 or time.time() - t0 > max_sec:
+            # budget checks include wall_offset: the max_sec budget is for
+            # the CUMULATIVE run, so restarts must not re-grant it
+            if epoch % every == 0 or wall_offset + time.time() - t0 > max_sec:
                 model.eval()
                 with torch.no_grad():
                     logits = model(eval_x)
@@ -180,7 +192,7 @@ def main() -> int:
                     model.state_dict(),
                     os.path.join(WORK, f"lipnet_refwer_epoch{epoch}.pth"),
                 )
-                if wer == 0.0 or time.time() - t0 > max_sec:
+                if wer == 0.0 or wall_offset + time.time() - t0 > max_sec:
                     break
     print(f"done: {progress}")
     return 0
