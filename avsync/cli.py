@@ -749,25 +749,35 @@ def cmd_misalign_eval(args) -> int:
                        cache_dir=getattr(args, "bank_cache", None))
     n = len(paths)
 
-    # one jitted program for the whole gather->MFCC->detector chain: the
-    # eager variant dispatched ~50 individually-compiled ops over the
-    # tunnel (40 s of first-call warmup measured on the 24-clip corpus);
-    # fused it is a single executable, reused for every shift magnitude
-    # and shared across CLI invocations via the persistent compile cache
-    score = jax.jit(
-        lambda vi, sh: jax.nn.sigmoid(det_model.apply(
-            {"params": det_params},
-            gather_features(bank, vi, sh, cfg.audio),
-        ))
+    # ONE jitted program for the whole sweep: gather->MFCC->detector for
+    # the aligned row plus every shift magnitude, lax.map'ed over the
+    # (M+1, n) shift matrix. The round-3 implementation dispatched ~50
+    # individually-compiled eager ops per magnitude over the tunnel (40 s
+    # of first-call warmup + one 50 ms RTT per magnitude on the 24-clip
+    # corpus); this is a single executable, one dispatch for the whole
+    # sweep, shared across CLI invocations via the persistent compile
+    # cache. lax.map (not vmap) keeps peak memory at one magnitude's STFT.
+    score_sweep = jax.jit(
+        lambda vi, sh_rows: jax.lax.map(
+            lambda sh: jax.nn.sigmoid(det_model.apply(
+                {"params": det_params},
+                gather_features(bank, vi, sh, cfg.audio),
+            )),
+            sh_rows,
+        )
     )
     idx = jnp.arange(n, dtype=jnp.int32)
-    aligned = np.asarray(score(idx, jnp.zeros(n, jnp.int32)))
+    rng = np.random.default_rng(args.seed)
+    mags = list(range(args.min_shift, args.max_shift + 1))
+    rows = [np.zeros(n, np.int32)]  # aligned first — same rng stream as
+    for s in mags:                  # the round-3 per-magnitude loop
+        signs = rng.choice([-1, 1], size=n).astype(np.int32)
+        rows.append(signs * s)
+    scored = np.asarray(score_sweep(idx, jnp.asarray(np.stack(rows))))
+    aligned, shifted_rows = scored[0], scored[1:]
     results = {}
     all_scores, all_labels = [aligned], [np.ones(n)]
-    rng = np.random.default_rng(args.seed)
-    for s in range(args.min_shift, args.max_shift + 1):
-        signs = rng.choice([-1, 1], size=n).astype(np.int32)
-        shifted = np.asarray(score(idx, jnp.asarray(signs * s)))
+    for s, shifted in zip(mags, shifted_rows):
         labels = np.concatenate([np.ones(n), np.zeros(n)])
         scores = np.concatenate([aligned, shifted])
         results[str(s)] = float(

@@ -70,6 +70,9 @@ class DetectorTrainer:
         )
         self.rng = jax.random.PRNGKey(config.train.seed)
         self._steps = None
+        # test hook: force the per-step host loop (the scanned epoch path
+        # must be bit-identical to it — tests/test_misalignment.py)
+        self._force_loop = False
 
     def init_state(self, feature_dim: int) -> DetectorState:
         init_rng, self.rng = jax.random.split(self.rng)
@@ -127,11 +130,47 @@ class DetectorTrainer:
                 )
                 return loss, jax.nn.sigmoid(logits)
 
+            # Whole-epoch variants: lax.scan the step over the epoch's
+            # pre-padded (S, B) sampling plan in ONE device program. The
+            # per-batch host loop costs one tunnel round-trip per step
+            # (50+ ms RTT dominates the few-ms step math); the scan costs
+            # one dispatch per EPOCH with bit-identical sequential
+            # semantics (same batch order, same fold_in(step) dropout keys).
+            def train_epoch_scan(state, bank, vi, sh, lb, w, rng):
+                def body(st, xs):
+                    v, s, l, wt = xs
+                    st, loss, probs = train_step(st, bank, v, s, l, wt, rng)
+                    return st, (loss, probs)
+
+                state, (losses, probs) = jax.lax.scan(
+                    body, state, (vi, sh, lb, w)
+                )
+                return state, losses, probs
+
+            def eval_epoch_scan(params, bank, vi, sh, lb, w):
+                def body(_, xs):
+                    v, s, l, wt = xs
+                    loss, probs = eval_step(params, bank, v, s, l, wt)
+                    return (), (loss, probs)
+
+                _, (losses, probs) = jax.lax.scan(
+                    body, (), (vi, sh, lb, w)
+                )
+                return losses, probs
+
             if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
                 from avsync.parallel.mesh import batch_sharding, replicated
 
                 data_sh = batch_sharding(self.mesh)
                 rep = replicated(self.mesh)
+                # (S, B) plans shard the BATCH axis (1) the same way a
+                # single (B,) batch shards its axis 0
+                spec = data_sh.spec
+                plan_sh = NamedSharding(
+                    self.mesh, PartitionSpec(None, *spec)
+                )
                 self._steps = {
                     "train": jax.jit(
                         train_step,
@@ -146,11 +185,28 @@ class DetectorTrainer:
                             rep, rep, data_sh, data_sh, data_sh, data_sh,
                         ),
                     ),
+                    "train_epoch": jax.jit(
+                        train_epoch_scan,
+                        in_shardings=(
+                            rep, rep, plan_sh, plan_sh, plan_sh, plan_sh, rep,
+                        ),
+                        donate_argnums=(0,),
+                    ),
+                    "eval_epoch": jax.jit(
+                        eval_epoch_scan,
+                        in_shardings=(
+                            rep, rep, plan_sh, plan_sh, plan_sh, plan_sh,
+                        ),
+                    ),
                 }
             else:
                 self._steps = {
                     "train": jax.jit(train_step, donate_argnums=(0,)),
                     "eval": jax.jit(eval_step),
+                    "train_epoch": jax.jit(
+                        train_epoch_scan, donate_argnums=(0,)
+                    ),
+                    "eval_epoch": jax.jit(eval_epoch_scan),
                 }
         return self._steps
 
@@ -183,7 +239,40 @@ class DetectorTrainer:
             )
         total_loss, total_n = 0.0, 0
         all_probs, all_labels = [], []
-        for i in range(0, len(video_idx), B):
+        # Full-width batches run as ONE scanned device program (one tunnel
+        # dispatch per epoch instead of one per step — the 50+ ms RTT, not
+        # the step math, dominates the per-batch loop). The scan replays the
+        # loop bit-identically: same batch order, same fold_in(state.step)
+        # dropout keys, same weighted-loss math. The ragged tail (and any B
+        # not divisible by the mesh tile) stays on the per-step path below.
+        start = 0
+        S = len(video_idx) // B
+        if S > 0 and B % tile == 0 and not self._force_loop:
+            start = S * B
+
+            def plan(a, dtype=None):
+                a = a[:start].reshape(S, B)
+                return jnp.asarray(a if dtype is None else a.astype(dtype))
+
+            vi = plan(video_idx)
+            sh = plan(shifts)
+            lb = plan(labels, np.float32)
+            w = jnp.ones((S, B), jnp.float32)
+            if train:
+                state, losses, probs = self.steps["train_epoch"](
+                    state, bank, vi, sh, lb, w, self.rng
+                )
+            else:
+                losses, probs = self.steps["eval_epoch"](
+                    state.params, bank, vi, sh, lb, w
+                )
+            # accumulate exactly as the loop does (f64 per-batch terms), so
+            # the reported epoch loss is bit-identical to the step path
+            total_loss += sum(float(l) * B for l in np.asarray(losses))
+            total_n += S * B
+            all_probs.append(np.asarray(probs).reshape(-1))
+            all_labels.append(labels[:start])
+        for i in range(start, len(video_idx), B):
             vi = video_idx[i : i + B]
             valid = len(vi)
             pad = (-valid) % tile

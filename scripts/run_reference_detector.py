@@ -53,7 +53,7 @@ OUT_JSON = os.path.join(WORK, "reference_detector.json")
 LIPNET_PTH = os.path.join(REF_DIR, "lipnet_final.pth")
 
 
-def phase_a_training() -> dict:
+def phase_a_training(seed: int = 42) -> dict:
     """Execute the reference training script as __main__."""
     os.makedirs(REF_DIR, exist_ok=True)
     det_pth = os.path.join(REF_DIR, "misalignment_detector.pth")
@@ -67,7 +67,7 @@ def phase_a_training() -> dict:
         "--epochs", "20",
         "--max_shift_frames", "15",
         "--log_dir", log_dir,
-        "--seed", "42",
+        "--seed", str(seed),
     ]
     old_argv, sys.argv = sys.argv, argv
     t0 = time.time()
@@ -216,6 +216,12 @@ def main() -> int:
     ap.add_argument("--hard", action="store_true",
                     help="shorthand for --min-shift 1 --max-shift 4; stores "
                          "results under shift_sweep_auroc_hard")
+    ap.add_argument("--train-seed", type=int, default=42,
+                    help="reference detector training seed (seed studies)")
+    ap.add_argument("--no-save", action="store_true",
+                    help="print results only; do not overwrite the JSON "
+                         "artifacts (seed-study runs must not clobber the "
+                         "published seed-42 record)")
     args = ap.parse_args()
     if args.hard:
         args.min_shift, args.max_shift = 1, 4
@@ -231,7 +237,7 @@ def main() -> int:
             if prior is not None:
                 results["training"] = prior
     else:
-        results["training"] = phase_a_training()
+        results["training"] = phase_a_training(seed=args.train_seed)
         det_pth = results["training"]["detector_checkpoint"]
     if "training" in results:
         print(json.dumps(results["training"]), flush=True)
@@ -239,9 +245,11 @@ def main() -> int:
         det_pth, min_shift=args.min_shift, max_shift=args.max_shift
     )
     print(json.dumps(results["sweep"]), flush=True)
-    out_json = OUT_JSON.replace(".json", "_hard.json") if args.hard else OUT_JSON
-    with open(out_json, "w") as f:
-        json.dump(results, f, indent=2)
+    if not args.no_save:
+        out_json = (OUT_JSON.replace(".json", "_hard.json") if args.hard
+                    else OUT_JSON)
+        with open(out_json, "w") as f:
+            json.dump(results, f, indent=2)
     if args.update_baseline:
         update_baseline(results, hard=args.hard)
     return 0

@@ -117,6 +117,77 @@ class TestFeatureBank:
         np.testing.assert_allclose(feats[-40:], ref, rtol=5e-5, atol=5e-4)
 
 
+class TestScannedEpoch:
+    def test_scanned_epoch_matches_step_loop_exactly(self):
+        """The whole-epoch lax.scan dispatch must replay the per-step host
+        loop bit-identically: same params trajectory, same probs/metrics
+        (one tunnel dispatch per epoch is a pure scheduling change)."""
+        bank, cfg = _make_bank()
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, detector=dataclasses.replace(
+                cfg.detector, batch_size=4, max_shift_frames=5,
+            )
+        )
+        n = int(bank.visual.shape[0])
+        feature_dim = bank.visual.shape[1] + 2 * cfg.audio.n_mfcc
+
+        def run(force_loop):
+            tr = DetectorTrainer(cfg, log=Logger(None, console=False))
+            tr._force_loop = force_loop
+            state = tr.init_state(feature_dim)
+            for epoch in range(2):
+                state, m = tr.run_epoch(state, bank, n, seed=epoch)
+            _, ev = tr.run_epoch(state, bank, n, seed=99, train=False)
+            return state, m, ev
+
+        s_scan, m_scan, e_scan = run(False)
+        s_loop, m_loop, e_loop = run(True)
+        # plan length 12 = 3 full batches of 4: scan covers everything
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            s_scan.params, s_loop.params,
+        )
+        assert m_scan["loss"] == pytest.approx(m_loop["loss"], abs=0)
+        np.testing.assert_array_equal(m_scan["probs"], m_loop["probs"])
+        np.testing.assert_array_equal(e_scan["probs"], e_loop["probs"])
+
+    def test_scanned_epoch_with_ragged_tail(self):
+        """Batch size that does not divide the plan: scan prefix + exact
+        zero-weight-padded tail step must equal the pure loop."""
+        bank, cfg = _make_bank()
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, detector=dataclasses.replace(
+                cfg.detector, batch_size=5, max_shift_frames=5,
+            )
+        )
+        n = int(bank.visual.shape[0])  # plan length 12 -> 2x5 + tail 2
+        feature_dim = bank.visual.shape[1] + 2 * cfg.audio.n_mfcc
+
+        def run(force_loop):
+            tr = DetectorTrainer(cfg, log=Logger(None, console=False))
+            tr._force_loop = force_loop
+            state = tr.init_state(feature_dim)
+            state, m = tr.run_epoch(state, bank, n, seed=3)
+            return state, m
+
+        s_scan, m_scan = run(False)
+        s_loop, m_loop = run(True)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            s_scan.params, s_loop.params,
+        )
+        np.testing.assert_array_equal(m_scan["probs"], m_loop["probs"])
+        assert m_scan["loss"] == pytest.approx(m_loop["loss"], rel=1e-12)
+
+
 class TestDetectorEndToEnd:
     def test_training_learns_synthetic_misalignment(self, tmp_path):
         """Full pipeline on the synthetic corpus: feature bank from the
