@@ -346,10 +346,18 @@ def cmd_train(args) -> int:
     import itertools
 
     epoch_seq = itertools.count()
+
+    def train_source():
+        # one seed draw per epoch, shared by both paths so the shuffle
+        # order is identical whether the epoch scans or streams
+        seed = cfg.train.seed + next(epoch_seq)
+        plan = batchers["train"].scan_plan(shuffle=True, seed=seed)
+        if plan is not None:  # fully device-cached: one dispatch per epoch
+            return plan
+        return batchers["train"].epoch(shuffle=True, seed=seed)
+
     state = trainer.train(
-        lambda: batchers["train"].epoch(
-            shuffle=True, seed=cfg.train.seed + next(epoch_seq)
-        ),
+        train_source,
         lambda: batchers["val"].epoch(shuffle=False),
         state=resume_state,
         checkpoint_dir=cfg.train.checkpoint_dir,

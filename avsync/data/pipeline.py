@@ -115,6 +115,7 @@ class LipNetBatcher:
         self._device_cache = None
         self._epoch_calls = 0
         self._gather = None
+        self._gather_raw = None  # unjitted gather (whole-epoch scans)
         self._combine = None  # row-wise cached/streamed merge (partial cache)
         self._detector = None
         self._localizer_params = None
@@ -368,6 +369,8 @@ class LipNetBatcher:
                 rows = jnp.take(c, i, axis=0)
             return rows.view(jnp.float32).reshape((-1,) + clip_shape)
 
+        self._gather_raw = gather  # unjitted: embeds into whole-epoch scans
+
         def to_bytes(x):
             x = jnp.asarray(x, jnp.float32)
             return x.reshape(x.shape[0], -1).view(jnp.int8).reshape(
@@ -395,6 +398,52 @@ class LipNetBatcher:
         self._device_cache = {
             "video": video, "labels": labels, "label_lengths": lengths,
             "n_cached": n_cached,
+        }
+
+    def scan_plan(self, batch_size=None, shuffle=True, seed=0):
+        """One-dispatch epoch plan, or None when it does not apply.
+
+        When the FULL corpus is device-cached, an epoch needs no host work
+        at all — the shuffle order is the only per-epoch input. The plan
+        carries the byte cache + raw gather + device labels + the (S, B)
+        index matrix; LipNetTrainer.train_epoch_scanned lax.scans the train
+        step over it in a single jitted program (one tunnel dispatch per
+        epoch instead of one per batch — through the tunnel's 50+ ms RTT
+        the dispatch, not the step math, bounds small-batch throughput).
+        Returns None for streamed/partial-cache corpora (per-batch host work
+        is inherent there) and for the warm-up epoch under 'auto', keeping
+        cache-build timing identical to epoch().
+        """
+        import jax.numpy as jnp
+
+        # do NOT bump _epoch_calls on the None paths: a fallback to epoch()
+        # then sees the same counter it would have without this probe, so
+        # 'auto' cache-build timing (second epoch) is unchanged
+        if self._device_cache is None and self._cache_allowed(
+            eager=self._epoch_calls + 1 >= 2
+        ):
+            self.warm_device_cache()
+        cache = self._device_cache
+        n = len(self.source)
+        if cache is None or cache.get("n_cached", n) < n:
+            return None
+        B = batch_size or self.cfg.data.batch_size
+        S = n // B  # drop_last: training epochs only
+        if S == 0:
+            return None
+        self._epoch_calls += 1
+        order = np.arange(n)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        if not isinstance(cache["labels"], jax.Array):
+            cache["labels"] = jnp.asarray(cache["labels"])
+            cache["label_lengths"] = jnp.asarray(cache["label_lengths"])
+        return {
+            "video": cache["video"],
+            "gather": self._gather_raw,
+            "labels": cache["labels"],
+            "lengths": cache["label_lengths"],
+            "idx": order[: S * B].reshape(S, B).astype(np.int32),
         }
 
     def _cached_epoch(self, batch_size, shuffle, seed, drop_last):
@@ -439,6 +488,19 @@ class LipNetBatcher:
 
         workers = max(1, int(getattr(d, "loader_threads", 4)))
 
+        # packed transfers must still tile the mesh's batch-sharding axes
+        tile = 1
+        if self.mesh is not None:
+            tile = int(self.mesh.shape.get("data", 1)) * int(
+                self.mesh.shape.get("slice", 1)
+            )
+
+        def cap_of(k):  # bucket the miss count to tile x power-of-two so
+            c = tile    # the jitted preprocess compiles O(log B) variants,
+            while c < k:  # not one per distinct miss count
+                c *= 2
+            return min(c, B)
+
         def host_batches():  # decode ONLY the uncached rows of each batch
             pool = ThreadPoolExecutor(max_workers=workers)
             try:
@@ -460,27 +522,33 @@ class LipNetBatcher:
                             ),
                             idx[miss],
                         ))
-                        # pad to B rows so the jitted preprocess keeps the
-                        # one (B, ...) shape shared with the streamed path
-                        raw = np.zeros((B,) + decoded[0].shape, np.uint8)
-                        for p, r in zip(miss, decoded):
-                            raw[p] = r
+                        # PACKED rows: only the missed clips cross the host
+                        # link (the whole point of the cache is saving H2D
+                        # bytes — a full-B padded transfer would cost as
+                        # much as pure streaming plus the gather)
+                        cap = cap_of(miss.size)
+                        raw = np.zeros((cap,) + decoded[0].shape, np.uint8)
+                        for k, r in enumerate(decoded):
+                            raw[k] = r
                         if self._detector is not None and raw.shape[2:] != (
                             d.img_height, d.img_width,
                         ):  # host-cascade ROI, as in _host_epoch
-                            det = [self._detector.detect_clip(raw[p])
-                                   for p in miss]
-                            boxes = np.zeros((B,) + det[0].shape, np.float32)
-                            for p, b in zip(miss, det):
-                                boxes[p] = b
-                    yield {"idx": idx, "raw": raw, "boxes": boxes,
-                           "valid": valid}
+                            det = [self._detector.detect_clip(r)
+                                   for r in decoded]
+                            boxes = np.zeros((cap,) + det[0].shape,
+                                             np.float32)
+                            for k, b in enumerate(det):
+                                boxes[k] = b
+                    yield {"idx": idx, "miss": miss, "raw": raw,
+                           "boxes": boxes, "valid": valid}
             finally:
                 pool.shutdown(wait=False)
 
         if self._combine is None:
+            # scatter the processed missed rows into the gathered batch;
+            # pad positions point past the batch and drop
             self._combine = jax.jit(
-                lambda g, s, m: jnp.where(m[:, None, None, None, None], g, s)
+                lambda g, p, i: g.at[i].set(p, mode="drop")
             )
         for hb in prefetch(host_batches(), 2):
             idx = hb["idx"]
@@ -491,8 +559,12 @@ class LipNetBatcher:
             gathered = self._gather(cache["video"], jnp.asarray(safe))
             if hb["raw"] is not None:
                 streamed = self._preprocess(hb["raw"], hb["boxes"])
+                miss = hb["miss"]
+                cap = hb["raw"].shape[0]
+                scatter = np.full((cap,), B, np.int32)
+                scatter[: miss.size] = miss
                 video = self._combine(
-                    gathered, streamed, jnp.asarray(is_cached)
+                    gathered, streamed, jnp.asarray(scatter)
                 )
             else:
                 video = gathered

@@ -171,6 +171,7 @@ class LipNetTrainer:
         self.val_losses: list = []
         self.lr_history: list = []
         self._compiled = None
+        self._scan_cache: dict = {}  # whole-epoch programs per gather fn
 
     # -- initialization ---------------------------------------------------
     def init_state(self, sample_batch: Dict[str, np.ndarray]) -> TrainState:
@@ -243,6 +244,74 @@ class LipNetTrainer:
         })
 
     # -- epoch loops ------------------------------------------------------
+    def _scan_program(self, gather_fn):
+        """Whole-epoch train program for a device-cached corpus: lax.scan of
+        the train step over the (S, B) shuffle plan, the per-row video rows
+        gathered from the byte cache INSIDE the program. One tunnel dispatch
+        per epoch — through the axon tunnel's 50+ ms RTT, per-batch dispatch
+        (not step math) bounds small-batch throughput. Bit-identical to the
+        host loop: same batch order, same fold_in(state.step) dropout keys,
+        same donated-state update sequence."""
+        key = id(gather_fn)
+        prog = self._scan_cache.get(key)
+        if prog is not None:
+            return prog
+        train_step = make_train_step(
+            self.model, self.optimizer, self._loss_fn,
+            remat=self.config.train.remat,
+        )
+
+        def epoch_fn(state, video_bytes, labels, lengths, idx, rng, lr):
+            def body(st, row):
+                batch = {
+                    "video": gather_fn(video_bytes, row),
+                    "labels": labels[row],
+                    "label_lengths": lengths[row],
+                }
+                st, m = train_step(st, batch, rng, lr)
+                return st, (m["loss"], m["grad_norm"])
+
+            state, (losses, gnorms) = jax.lax.scan(body, state, idx)
+            return state, losses, gnorms
+
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        data_sh = meshlib.batch_sharding(self.mesh)
+        plan_sh = NamedSharding(
+            self.mesh, PartitionSpec(None, *data_sh.spec)
+        )
+        prog = jax.jit(
+            epoch_fn,
+            in_shardings=(None, None, None, None, plan_sh, None, None),
+            donate_argnums=(0,),
+        )
+        self._scan_cache[key] = prog
+        return prog
+
+    def train_epoch_scanned(
+        self, state: TrainState, plan: Dict[str, Any], metrics_writer=None
+    ) -> Tuple[TrainState, float]:
+        """One device dispatch for the whole epoch (see _scan_program).
+        `plan` comes from LipNetBatcher.scan_plan."""
+        import jax.numpy as jnp
+
+        lr = np.float32(self.current_lr)
+        step0 = int(state.step)
+        prog = self._scan_program(plan["gather"])
+        state, losses, gnorms = prog(
+            state, plan["video"], plan["labels"], plan["lengths"],
+            jnp.asarray(plan["idx"]), self.rng, lr,
+        )
+        losses = np.asarray(losses)  # the epoch-end device sync
+        if metrics_writer is not None:
+            gnorms = np.asarray(gnorms)
+            for i, (l, g) in enumerate(zip(losses, gnorms)):
+                metrics_writer.write(
+                    step0 + i + 1, loss=float(l), grad_norm=float(g),
+                    lr=float(lr),
+                )
+        return state, float(losses.astype(np.float64).mean())
+
     def train_epoch(
         self, state: TrainState, loader: Iterable, metrics_writer=None
     ) -> Tuple[TrainState, float]:
@@ -344,12 +413,23 @@ class LipNetTrainer:
             self.log.log(f"TensorBoard events -> {cfg.log_dir}/{stamp}")
 
         if state is None:
-            gen = iter(train_loader_fn())
-            try:
-                first = next(gen)
-            finally:
-                if hasattr(gen, "close"):
-                    gen.close()
+            src0 = train_loader_fn()
+            if isinstance(src0, dict) and "idx" in src0:
+                # scan plan: init_state only needs the video template shape
+                # (one gathered row); the plan itself is discarded, exactly
+                # as the loop path discards its first-epoch generator
+                import jax.numpy as jnp
+
+                row = jnp.asarray(src0["idx"][0][:1])
+                first = {"video": np.asarray(src0["gather"](src0["video"],
+                                                            row))}
+            else:
+                gen = iter(src0)
+                try:
+                    first = next(gen)
+                finally:
+                    if hasattr(gen, "close"):
+                        gen.close()
             state = self.init_state(first)
 
         self.log.log(f"Starting training for {epochs} epochs...")
@@ -361,7 +441,14 @@ class LipNetTrainer:
             if lr_schedule is not None:
                 self.current_lr = float(lr_schedule(epoch - 1, self.current_lr))
             te = time.time()
-            state, train_loss = self.train_epoch(state, train_loader_fn())
+            # the loader fn may return a whole-epoch scan plan (a dict from
+            # LipNetBatcher.scan_plan — fully device-cached corpora) instead
+            # of a host-batch iterable
+            src = train_loader_fn()
+            if isinstance(src, dict) and "idx" in src:
+                state, train_loss = self.train_epoch_scanned(state, src)
+            else:
+                state, train_loss = self.train_epoch(state, src)
             val_loss = self.validate(state, val_loader_fn())
             self.train_losses.append(train_loss)
             self.val_losses.append(val_loss)

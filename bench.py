@@ -121,13 +121,29 @@ def e2e_benchmark(trainer, state, cfg) -> dict:
 
     cached = make_batcher("on")
     cached.warm_device_cache()
-    state, cached_rate = timed_epochs(cached, state)
+
+    # the deployed cached path (`avsync train` on a fully-cached corpus):
+    # whole-epoch scan plan, ONE device dispatch per epoch
+    def timed_plan_epochs(batcher, state):
+        plan = batcher.scan_plan(shuffle=True, seed=0)
+        state, _ = trainer.train_epoch_scanned(state, plan)  # warm/compile
+        t0 = time.perf_counter()
+        total = 0
+        for ep in range(1, 4):
+            plan = batcher.scan_plan(shuffle=True, seed=ep)
+            state, _ = trainer.train_epoch_scanned(state, plan)
+            total += plan["idx"].size
+        return state, total / (time.perf_counter() - t0) / n_dev
+
+    state, cached_rate = timed_plan_epochs(cached, state)
 
     return {
         "e2e_clips_per_sec_per_chip": round(cached_rate, 2),
         "e2e_note": "epoch-2+ steady state: preprocessed corpus resident in "
-                    "device HBM (device_cache), batches are on-device "
-                    "gathers — zero host decode / H2D per epoch",
+                    "device HBM (device_cache), each epoch is ONE scanned "
+                    "device program (gather + train step per batch inside "
+                    "lax.scan) — zero host decode / H2D / per-batch "
+                    "dispatch",
         "e2e_streamed_clips_per_sec_per_chip": round(streamed_rate, 2),
         "e2e_streamed_note": "host .npy decode + uint8 transfer + device "
                              "preprocess + train step, prefetch-overlapped; "

@@ -278,6 +278,133 @@ class TestDeviceCache:
                 )
                 np.testing.assert_array_equal(x["video"], y["video"])
 
+    def test_scan_plan_training_matches_streamed_loop_exactly(self, tmp_path):
+        """Whole-epoch scan-plan training (one dispatch per epoch over the
+        device cache) must produce bit-identical params to the streamed
+        per-batch loop: same shuffle seeds, same fold_in(step) dropout keys,
+        same update order."""
+        import dataclasses
+
+        from avsync.config import ModelConfig, TrainConfig
+        from avsync.train import LipNetTrainer
+        from avsync.utils.logging import Logger
+
+        root, cfg = self._corpus_cfg(tmp_path, "on", batch_size=2)
+        cfg = dataclasses.replace(
+            cfg,
+            model=ModelConfig(hidden_dim=8, conv_channels=(2, 2, 3)),
+            train=TrainConfig(mesh_shape=(1, 1), epochs=2, seed=7),
+        )
+
+        def train(mode):
+            c = dataclasses.replace(
+                cfg, data=dataclasses.replace(cfg.data, device_cache=mode)
+            )
+            import jax as _jax
+
+            from avsync.parallel import make_mesh
+
+            mesh = make_mesh((1, 1), devices=_jax.devices()[:1])
+            batcher = LipNetBatcher(GridDataSource(root), c)
+            trainer = LipNetTrainer(c, mesh=mesh,
+                                    log=Logger(None, console=False))
+            import itertools
+
+            seq = itertools.count()
+
+            def source():
+                seed = c.train.seed + next(seq)
+                plan = batcher.scan_plan(shuffle=True, seed=seed)
+                if plan is not None:
+                    return plan
+                return batcher.epoch(shuffle=True, seed=seed)
+
+            state = None
+            # replicate trainer.train's epoch structure without checkpoints
+            src0 = source()
+            if isinstance(src0, dict):
+                import jax.numpy as jnp
+
+                row = jnp.asarray(src0["idx"][0][:1])
+                first = {"video": np.asarray(
+                    src0["gather"](src0["video"], row))}
+            else:
+                first = next(iter(src0))
+            state = trainer.init_state(first)
+            used_plan = False
+            for _ in range(2):
+                src = source()
+                if isinstance(src, dict) and "idx" in src:
+                    used_plan = True
+                    state, _ = trainer.train_epoch_scanned(state, src)
+                else:
+                    state, _ = trainer.train_epoch(state, src)
+            return state, used_plan
+
+        s_scan, used_scan = train("on")
+        s_loop, used_loop = train("off")
+        assert used_scan and not used_loop
+        import jax
+
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            s_scan.params, s_loop.params,
+        )
+
+    def test_scan_plan_training_on_mesh_matches_single_device(self, tmp_path):
+        """The scanned-epoch program under a (8,1) data-parallel mesh (plan
+        sharded on the batch axis) must match the single-device scan
+        numerically."""
+        import dataclasses
+
+        import jax as _jax
+
+        from avsync.config import ModelConfig, TrainConfig
+        from avsync.parallel import make_mesh
+        from avsync.train import LipNetTrainer
+        from avsync.utils.logging import Logger
+
+        root = str(tmp_path / "gridm")
+        synthetic.write_corpus(
+            root, n_speakers=1, clips_per_speaker=8,
+            n_frames=4, height=12, width=20, seed=21, with_audio=False,
+        )
+        cfg = AvsyncConfig(
+            data=DataConfig(data_path=root, img_height=12, img_width=20,
+                            max_video_length=4, batch_size=8,
+                            device_cache="on"),
+            model=ModelConfig(hidden_dim=8, conv_channels=(2, 2, 3)),
+            train=TrainConfig(epochs=1, seed=5),
+        )
+
+        def train(mesh):
+            batcher = LipNetBatcher(GridDataSource(root), cfg,
+                                    mesh=mesh)
+            trainer = LipNetTrainer(cfg, mesh=mesh,
+                                    log=Logger(None, console=False))
+            plan = batcher.scan_plan(shuffle=True, seed=3)
+            assert plan is not None and plan["idx"].shape == (1, 8)
+            import jax.numpy as jnp
+
+            row = jnp.asarray(plan["idx"][0][:1])
+            state = trainer.init_state(
+                {"video": np.asarray(plan["gather"](plan["video"], row))}
+            )
+            state, loss = trainer.train_epoch_scanned(state, plan)
+            return loss, state
+
+        loss8, s8 = train(make_mesh((8, 1)))
+        loss1, s1 = train(make_mesh((1, 1), devices=_jax.devices()[:1]))
+        assert loss8 == pytest.approx(loss1, rel=1e-5)
+        _jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
+            ),
+            s8.params, s1.params,
+        )
+
     def test_take_branch_above_onehot_crossover(self, tmp_path):
         """Caches above cache_gather_onehot_max_mb gather with jnp.take
         instead of the one-hot matmul (which reads the whole cache per
