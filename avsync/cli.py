@@ -722,6 +722,12 @@ def _plot_roc(labels, probs, out_path):
 # misalign-eval: sliding-shift AUROC sweep (BASELINE scenario #3)
 # ---------------------------------------------------------------------------
 
+# Clip-axis chunk for sweep scoring (module-level so tests can patch it to
+# exercise the multi-chunk path on tiny corpora). 512 keeps one magnitude's
+# STFT intermediate ~1 GB on device at production corpus sizes.
+_SWEEP_CLIP_CHUNK = 512
+
+
 def cmd_misalign_eval(args) -> int:
     """Score every clip aligned vs +/-s for each shift magnitude s and report
     AUROC per magnitude + overall — the 'sliding +/-5..20-frame shifts'
@@ -774,14 +780,31 @@ def cmd_misalign_eval(args) -> int:
             sh_rows,
         )
     )
-    idx = jnp.arange(n, dtype=jnp.int32)
+    idx = np.arange(n, dtype=np.int32)
     rng = np.random.default_rng(args.seed)
     mags = list(range(args.min_shift, args.max_shift + 1))
     rows = [np.zeros(n, np.int32)]  # aligned first — same rng stream as
     for s in mags:                  # the round-3 per-magnitude loop
         signs = rng.choice([-1, 1], size=n).astype(np.int32)
         rows.append(signs * s)
-    scored = np.asarray(score_sweep(idx, jnp.asarray(np.stack(rows))))
+    row_mat = np.stack(rows)
+    # chunk the clip axis: one magnitude's STFT intermediate is
+    # O(n_clips * audio_hops * n_fft) — ~7 GB at 3300 clips — so
+    # production-scale corpora score in <=_SWEEP_CLIP_CHUNK-clip chunks
+    # (padded to one width so the program compiles once)
+    CHUNK = _SWEEP_CLIP_CHUNK
+    parts = []
+    for c0 in range(0, n, CHUNK):
+        sub = slice(c0, min(c0 + CHUNK, n))
+        width = sub.stop - sub.start
+        pad = (CHUNK - width) % CHUNK if n > CHUNK else 0
+        sub_idx = np.pad(idx[sub], (0, pad))
+        sub_rows = np.pad(row_mat[:, sub], ((0, 0), (0, pad)))
+        out = np.asarray(
+            score_sweep(jnp.asarray(sub_idx), jnp.asarray(sub_rows))
+        )
+        parts.append(out[:, :width])
+    scored = np.concatenate(parts, axis=1)
     aligned, shifted_rows = scored[0], scored[1:]
     results = {}
     all_scores, all_labels = [aligned], [np.ones(n)]

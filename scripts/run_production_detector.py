@@ -213,6 +213,72 @@ def run_avsync() -> dict:
     return out
 
 
+SWEEP_REF_OUT = os.path.join(WORK, "reference_prod_sweep.json")
+SWEEP_AV_OUT = os.path.join(WORK, "avsync_prod_sweep.json")
+
+
+def run_sweep_avsync() -> dict:
+    """Hard-mode sweep (1..4 frames) over ALL 3300 clips, avsync on TPU."""
+    pth = ensure_lipnet()
+    det = os.path.join(WORK, "avsync_detector.pth")
+    assert os.path.exists(det), "run the avsync training phase first"
+    out_json = os.path.join(WORK, "avsync_sweep.json")
+    cmd = [sys.executable, "-m", "avsync.cli", "misalign-eval",
+           "--data_path", CORPUS, "--checkpoint", pth,
+           "--detector_checkpoint", det, "--min_shift", "1",
+           "--max_shift", "4", "--seed", "0", "--output", out_json,
+           "--bank_cache", os.path.join(WORK, "bank_cache")]
+    env = {**os.environ,
+           "AVSYNC_COMPILE_CACHE": os.path.join(WORK, "compile_cache")}
+    t0 = time.time()
+    proc = subprocess.run(cmd, capture_output=True, text=True,
+                          timeout=2 * 3600, env=env, cwd=REPO)
+    wall = time.time() - t0
+    if proc.returncode != 0:
+        raise RuntimeError(f"avsync prod sweep failed:\n{proc.stderr[-3000:]}")
+    sweep = json.load(open(out_json))
+    out = {"hardware": "1x TPU v5e (axon)", "wall_seconds": round(wall, 1),
+           "overall_auroc": sweep["overall_auroc"],
+           "auroc_by_shift": sweep["auroc_by_shift"],
+           "num_clips": sweep["num_clips"]}
+    with open(SWEEP_AV_OUT, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def run_sweep_reference() -> dict:
+    """Same sweep through the reference FeatureExtractor pipeline, CPU."""
+    from run_baselines import reference_env
+
+    pth = ensure_lipnet()
+    env = reference_env()
+    env.update(AVSYNC_REF_WORK=WORK, AVSYNC_REF_CORPUS=CORPUS,
+               AVSYNC_REF_DIR=os.path.join(WORK, "reference_run"),
+               AVSYNC_REF_LIPNET=pth)
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "scripts/run_reference_detector.py"),
+         "--hard", "--skip-training", "--no-save"],
+        capture_output=True, text=True, timeout=6 * 3600, env=env,
+    )
+    wall = time.time() - t0
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"reference prod sweep failed:\n{proc.stderr[-3000:]}")
+    rec = json.loads(proc.stdout.strip().splitlines()[-1])
+    out = {"hardware": "host CPU (torch), 1 core",
+           "wall_seconds": round(wall, 1),
+           "overall_auroc": rec["overall_auroc"],
+           "auroc_by_shift": rec["auroc_by_shift"],
+           "num_clips": rec["num_clips"]}
+    with open(SWEEP_REF_OUT, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out), flush=True)
+    return out
+
+
 def publish() -> None:
     ref = json.load(open(REF_OUT)) if os.path.exists(REF_OUT) else None
     av = json.load(open(AV_OUT)) if os.path.exists(AV_OUT) else None
@@ -238,6 +304,21 @@ def publish() -> None:
     path = os.path.join(REPO, "BASELINE.json")
     doc = json.load(open(path))
     doc.setdefault("published", {})["detector_training_production"] = entry
+
+    if os.path.exists(SWEEP_AV_OUT):
+        sweep_entry = {
+            "scenario": "hard-mode sweep (1..4 frames) over the FULL "
+                        "3300-clip production corpus, each stack sweeping "
+                        "its own production-trained detector",
+            "avsync": json.load(open(SWEEP_AV_OUT)),
+        }
+        if os.path.exists(SWEEP_REF_OUT):
+            sweep_entry["reference"] = json.load(open(SWEEP_REF_OUT))
+            sweep_entry["speedup_wall"] = round(
+                sweep_entry["reference"]["wall_seconds"]
+                / sweep_entry["avsync"]["wall_seconds"], 1
+            )
+        doc["published"]["shift_sweep_production"] = sweep_entry
     with open(path, "w") as f:
         json.dump(doc, f, indent=2)
     print(f"published detector_training_production -> {path}")
@@ -246,7 +327,8 @@ def publish() -> None:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("phase",
-                    choices=["corpus", "reference", "avsync", "publish"])
+                    choices=["corpus", "reference", "avsync",
+                             "sweep-reference", "sweep-avsync", "publish"])
     args = ap.parse_args()
     os.makedirs(WORK, exist_ok=True)
     if args.phase == "corpus":
@@ -256,6 +338,10 @@ def main() -> int:
         run_reference()
     elif args.phase == "avsync":
         run_avsync()
+    elif args.phase == "sweep-reference":
+        run_sweep_reference()
+    elif args.phase == "sweep-avsync":
+        run_sweep_avsync()
     else:
         publish()
     return 0

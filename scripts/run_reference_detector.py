@@ -46,11 +46,15 @@ sys.modules["librosa"] = librosa_shim
 sys.modules["librosa.feature"] = librosa_shim.feature
 sys.path.insert(0, "/root/reference")
 
-WORK = "/tmp/avsync_baselines"
-CORPUS = os.path.join(WORK, "corpus")
-REF_DIR = os.path.join(WORK, "reference_run")
+# Env overrides let other drivers (run_production_detector.py) point the
+# same phase machinery at a different corpus/backbone/detector.
+WORK = os.environ.get("AVSYNC_REF_WORK", "/tmp/avsync_baselines")
+CORPUS = os.environ.get("AVSYNC_REF_CORPUS", os.path.join(WORK, "corpus"))
+REF_DIR = os.environ.get("AVSYNC_REF_DIR", os.path.join(WORK, "reference_run"))
 OUT_JSON = os.path.join(WORK, "reference_detector.json")
-LIPNET_PTH = os.path.join(REF_DIR, "lipnet_final.pth")
+LIPNET_PTH = os.environ.get(
+    "AVSYNC_REF_LIPNET", os.path.join(REF_DIR, "lipnet_final.pth")
+)
 
 
 def phase_a_training(seed: int = 42) -> dict:

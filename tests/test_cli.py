@@ -335,3 +335,31 @@ class TestMisalignEval:
         assert set(sweep["auroc_by_shift"]) == {"2", "3", "4", "5"}
         assert sweep["num_clips"] == 12
         assert 0.0 <= sweep["overall_auroc"] <= 1.0
+
+    def test_chunked_scoring_matches_single_chunk(
+        self, workdir, trained_pth, monkeypatch
+    ):
+        """The clip-axis chunking used for production-scale sweeps (padded
+        512-clip programs, see cli._SWEEP_CLIP_CHUNK) must be bit-identical
+        to scoring the whole corpus in one program."""
+        import avsync.cli as cli_mod
+
+        det = os.path.join(workdir["root"], "detector.pth")
+        assert os.path.exists(det)  # trained by test_shift_sweep_auroc
+
+        def sweep_with_chunk(chunk, tag):
+            monkeypatch.setattr(cli_mod, "_SWEEP_CLIP_CHUNK", chunk)
+            out_json = os.path.join(workdir["root"], f"sweep_{tag}.json")
+            rc = run_cli([
+                "misalign-eval", "--data_path", workdir["corpus"],
+                "--config", workdir["cfg_path"],
+                "--checkpoint", trained_pth, "--detector_checkpoint", det,
+                "--min_shift", "2", "--max_shift", "3",
+                "--output", out_json,
+            ])
+            assert rc == 0
+            return json.load(open(out_json))
+
+        whole = sweep_with_chunk(512, "whole")   # 12 clips -> 1 chunk
+        chunked = sweep_with_chunk(5, "chunked")  # 12 clips -> 5,5,2 (padded)
+        assert chunked == whole
