@@ -771,11 +771,15 @@ def cmd_misalign_eval(args) -> int:
     # corpus); this is a single executable, one dispatch for the whole
     # sweep, shared across CLI invocations via the persistent compile
     # cache. lax.map (not vmap) keeps peak memory at one magnitude's STFT.
+    # bank/det_params MUST be jit arguments, not closures: closed-over
+    # arrays are baked into the HLO as constants, and a production-scale
+    # bank (~800 MB at 3300 clips) blows the remote-compile request limit
+    # (HTTP 413) and would bloat the persistent cache entry.
     score_sweep = jax.jit(
-        lambda vi, sh_rows: jax.lax.map(
+        lambda bk, dp, vi, sh_rows: jax.lax.map(
             lambda sh: jax.nn.sigmoid(det_model.apply(
-                {"params": det_params},
-                gather_features(bank, vi, sh, cfg.audio),
+                {"params": dp},
+                gather_features(bk, vi, sh, cfg.audio),
             )),
             sh_rows,
         )
@@ -801,7 +805,8 @@ def cmd_misalign_eval(args) -> int:
         sub_idx = np.pad(idx[sub], (0, pad))
         sub_rows = np.pad(row_mat[:, sub], ((0, 0), (0, pad)))
         out = np.asarray(
-            score_sweep(jnp.asarray(sub_idx), jnp.asarray(sub_rows))
+            score_sweep(bank, det_params,
+                        jnp.asarray(sub_idx), jnp.asarray(sub_rows))
         )
         parts.append(out[:, :width])
     scored = np.concatenate(parts, axis=1)
