@@ -296,10 +296,26 @@ def scenario_2_preprocessing(results, skip_reference):
             float(np.asarray(b["video"]).ravel()[0])
             return count
 
-        run_epoch()  # warm
-        t0 = time.time()
-        count = run_epoch()
-        return count / (time.time() - t0)
+        # Warm until steady: one epoch compiles, but under the axon tunnel
+        # block_until_ready returns before device execution completes, so
+        # compile/dispatch backlog from the warm epoch drains into the NEXT
+        # epoch's final sync (measured: epoch walls 150 s -> 13 s -> 0.46 s
+        # on the 24-clip corpus). Timing the second epoch undercounts
+        # steady-state throughput by ~30x.
+        prev = None
+        for _ in range(5):
+            t0 = time.time()
+            run_epoch()
+            wall = time.time() - t0
+            if prev is not None and abs(wall - prev) / max(wall, prev) < 0.3:
+                break
+            prev = wall
+        walls = []
+        for _ in range(3):
+            t0 = time.time()
+            count = run_epoch()
+            walls.append(time.time() - t0)
+        return count / sorted(walls)[1]
 
     proc_rate = measure(CORPUS, "heuristic")
     roi_rate = measure(FULLFRAME, "model")
