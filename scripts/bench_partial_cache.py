@@ -88,7 +88,18 @@ def main() -> int:
             state = trainer.init_state(
                 {k: v for k, v in first.items() if k != "valid"}
             )
-        state, _ = run_epoch(state, 0)  # warm: jit + cache build
+        # Warm until steady: under the axon tunnel block_until_ready
+        # returns early, so compile backlog from the first epoch drains
+        # into later epochs' final sync; time only after two consecutive
+        # warm epochs agree within 30% (same fix as run_baselines.py).
+        prev = None
+        for warm_ep in range(5):
+            t0 = time.perf_counter()
+            state, _ = run_epoch(state, 0)
+            wall = time.perf_counter() - t0
+            if prev is not None and abs(wall - prev) / max(wall, prev) < 0.3:
+                break
+            prev = wall
         t0 = time.perf_counter()
         total = 0
         for ep in (1, 2):
