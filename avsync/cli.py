@@ -517,6 +517,9 @@ def _bank_cache_path(cfg: AvsyncConfig, video_paths, checkpoint, cache_dir):
         "checkpoint": stat(checkpoint) if checkpoint else None,
         "audio": [cfg.audio.sample_rate, cfg.audio.n_mfcc,
                   cfg.audio.max_audio_samples],
+        # the bank's fps array is a pure function of default_fps for .npy
+        # corpora (get_video_fps falls back to it), so it must key the cache
+        "fps": cfg.detector.default_fps,
         "geometry": [cfg.data.img_height, cfg.data.img_width,
                      cfg.data.max_video_length, cfg.data.roi_mode,
                      cfg.data.standardize_clips],

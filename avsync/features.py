@@ -16,6 +16,7 @@ Python cache.
 
 from __future__ import annotations
 
+import zipfile
 from typing import NamedTuple, Sequence
 
 import jax
@@ -155,7 +156,8 @@ def load_feature_bank(path: str, key: str) -> "FeatureBank | None":
                 audio_lengths=jnp.asarray(z["audio_lengths"]),
                 fps=jnp.asarray(z["fps"]),
             )
-    except (OSError, ValueError, KeyError):  # corrupt/partial file
+    except (OSError, ValueError, KeyError,
+            zipfile.BadZipFile):  # corrupt/partial file
         return None
 
 

@@ -252,8 +252,10 @@ class LipNetTrainer:
         (not step math) bounds small-batch throughput. Bit-identical to the
         host loop: same batch order, same fold_in(state.step) dropout keys,
         same donated-state update sequence."""
-        key = id(gather_fn)
-        prog = self._scan_cache.get(key)
+        # Keyed by the function object itself (identity hash): the strong
+        # ref pins it against GC, so a recycled id() can never alias a new
+        # gather closure to a stale compiled program.
+        prog = self._scan_cache.get(gather_fn)
         if prog is not None:
             return prog
         train_step = make_train_step(
@@ -285,7 +287,7 @@ class LipNetTrainer:
             in_shardings=(None, None, None, None, plan_sh, None, None),
             donate_argnums=(0,),
         )
-        self._scan_cache[key] = prog
+        self._scan_cache[gather_fn] = prog
         return prog
 
     def train_epoch_scanned(

@@ -208,20 +208,25 @@ def detector_benchmark(n_videos: int = 512) -> dict:
 
     det_model = MisalignmentDetector(hidden_dim=cfg.detector.hidden_dim)
     det_params = state.params
+    # bank/det_params are jit ARGUMENTS, not closures: closed-over arrays
+    # are baked into the HLO as constants (~125 MB at 512 clips), which
+    # ships oversized remote-compile requests and bloats the persistent
+    # compile cache — the same trap cli.py's score_sweep documents.
     score = jax.jit(
-        lambda vi, sh: jax.nn.sigmoid(det_model.apply(
-            {"params": det_params},
-            gather_features(bank, vi, sh, cfg.audio),
+        lambda bk, dp, vi, sh: jax.nn.sigmoid(det_model.apply(
+            {"params": dp},
+            gather_features(bk, vi, sh, cfg.audio),
         ))
     )
     idx = jnp.arange(n_videos, dtype=jnp.int32)
-    _sync_scalar(score(idx, jnp.zeros(n_videos, jnp.int32)))  # warm
+    _sync_scalar(score(bank, det_params, idx,
+                       jnp.zeros(n_videos, jnp.int32)))  # warm
     t0 = time.perf_counter()
     mags = (1, 5, 10, 20)
     out = None
     for s in mags:
         signs = rng.choice([-1, 1], size=n_videos).astype(np.int32)
-        out = score(idx, jnp.asarray(signs * s))
+        out = score(bank, det_params, idx, jnp.asarray(signs * s))
     _sync_scalar(out)
     sweep_rate = n_videos * len(mags) / (time.perf_counter() - t0)
 

@@ -22,6 +22,9 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+from run_baselines import warm_until_steady  # noqa: E402
 
 from avsync.utils.compile_cache import enable_persistent_cache  # noqa: E402
 
@@ -88,18 +91,13 @@ def main() -> int:
             state = trainer.init_state(
                 {k: v for k, v in first.items() if k != "valid"}
             )
-        # Warm until steady: under the axon tunnel block_until_ready
-        # returns early, so compile backlog from the first epoch drains
-        # into later epochs' final sync; time only after two consecutive
-        # warm epochs agree within 30% (same fix as run_baselines.py).
-        prev = None
-        for warm_ep in range(5):
-            t0 = time.perf_counter()
+        # Shared warm-up protocol (see run_baselines.warm_until_steady):
+        # time only after two consecutive warm epochs agree within 30%.
+        def warm_once():
+            nonlocal state
             state, _ = run_epoch(state, 0)
-            wall = time.perf_counter() - t0
-            if prev is not None and abs(wall - prev) / max(wall, prev) < 0.3:
-                break
-            prev = wall
+
+        warm_until_steady(warm_once)
         t0 = time.perf_counter()
         total = 0
         for ep in (1, 2):

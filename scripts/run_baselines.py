@@ -44,6 +44,28 @@ N_SPEAKERS, CLIPS = 3, 8
 EPOCHS = 20  # reference main.py hardcodes epochs=20 (`main.py:29`)
 
 
+def warm_until_steady(run_once, iters: int = 5, tol: float = 0.3):
+    """Run `run_once()` until two consecutive walls agree within `tol`.
+
+    Shared warm-up protocol for every epoch-timing harness here and in
+    bench_partial_cache.py: under the axon tunnel block_until_ready returns
+    before device execution completes, so compile/dispatch backlog from the
+    first (compiling) epoch drains into LATER epochs' final sync — timing
+    right after one warm epoch undercounts steady state by up to ~30x
+    (measured walls 150 s -> 13 s -> 0.46 s on a 24-clip corpus). Returns
+    the last run_once() result."""
+    prev = None
+    out = None
+    for _ in range(iters):
+        t0 = time.time()
+        out = run_once()
+        wall = time.time() - t0
+        if prev is not None and abs(wall - prev) / max(wall, prev) < tol:
+            break
+        prev = wall
+    return out
+
+
 def ensure_corpora():
     from avsync.data import synthetic
 
@@ -281,8 +303,14 @@ def scenario_2_preprocessing(results, skip_reference):
     from avsync.ops import audio_ref
 
     def measure(path, roi_mode):
+        # device_cache MUST be off here: this scenario bills itself as
+        # decode+preprocess+H2D throughput (vs the reference's per-clip CPU
+        # loop). Under the default 'auto' the 24-clip corpus is pinned in
+        # HBM after epoch 1 and every later epoch is a pure on-device
+        # gather — a different (much cheaper) workload.
         cfg = AvsyncConfig(
-            data=DataConfig(data_path=path, batch_size=8, roi_mode=roi_mode)
+            data=DataConfig(data_path=path, batch_size=8, roi_mode=roi_mode,
+                            device_cache="off")
         )
         src = GridDataSource(path)
         batcher = LipNetBatcher(src, cfg)
@@ -296,20 +324,7 @@ def scenario_2_preprocessing(results, skip_reference):
             float(np.asarray(b["video"]).ravel()[0])
             return count
 
-        # Warm until steady: one epoch compiles, but under the axon tunnel
-        # block_until_ready returns before device execution completes, so
-        # compile/dispatch backlog from the warm epoch drains into the NEXT
-        # epoch's final sync (measured: epoch walls 150 s -> 13 s -> 0.46 s
-        # on the 24-clip corpus). Timing the second epoch undercounts
-        # steady-state throughput by ~30x.
-        prev = None
-        for _ in range(5):
-            t0 = time.time()
-            run_epoch()
-            wall = time.time() - t0
-            if prev is not None and abs(wall - prev) / max(wall, prev) < 0.3:
-                break
-            prev = wall
+        warm_until_steady(run_epoch)
         walls = []
         for _ in range(3):
             t0 = time.time()
