@@ -43,6 +43,15 @@ class DataConfig:
     # the weights file is missing). Weights provenance: trained on the
     # synthetic mouth-ellipse distribution (scripts/train_localizer.py).
     roi_mode: str = "heuristic"
+    # Run the ROI localize+crop+resize on the HOST (the same XLA program
+    # jitted for the CPU backend) and ship uint8 CROPS over the
+    # host->device link instead of full frames — 16x fewer bytes. For
+    # deployments where that link is the binding constraint (e.g. a
+    # remote/tunneled accelerator); the default keeps ROI on the TPU,
+    # where the localizer conv + gather math is fastest. Applies to
+    # 'heuristic'/'variance'/'model' modes on full-frame corpora; crops
+    # are quantized to uint8 (same fidelity as a preprocessed corpus).
+    roi_host: bool = False
     # Per-clip standardization instead of /255 (the TF stack's convention,
     # `train.py:266-273`); off by default for parity with the PyTorch stack.
     standardize_clips: bool = False

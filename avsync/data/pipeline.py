@@ -95,6 +95,58 @@ def prefetch(iterator: Iterable, size: int = 2) -> Iterator:
         t.join(timeout=5.0)
 
 
+def make_roi_crop_fn(d, roi_mode: str, localizer_params=None):
+    """Full-frame (B, T, H, W) uint8/f32 -> (B, T, h, w, 1) f32 in [0, 1]:
+    ROI localization + per-clip box crop + INTER_AREA resize.
+
+    The ONE definition of the ROI program, shared by the device preprocess
+    path and the host-side `roi_host` path (same XLA program, different
+    backend) so the two can never drift. `roi_mode` must already be
+    resolved ('variance' | 'model' with params | anything else = the
+    reference's fixed heuristic crop fractions)."""
+    target = (d.img_height, d.img_width)
+
+    if roi_mode == "variance":
+        def run(x):  # on-device ROI localization + per-clip box crop
+            xf = x.astype(jnp.float32)
+            boxes = imglib.variance_mouth_boxes(xf)  # (B, 4)
+            per_frame = jnp.broadcast_to(
+                boxes[:, None, :], (x.shape[0], x.shape[1], 4)
+            )
+            out = imglib.crop_resize_boxes(xf, per_frame, target) * (1.0 / 255.0)
+            return out[..., None]
+    elif roi_mode == "model" and localizer_params is not None:
+        loc_params = localizer_params
+
+        def run(x):  # learned localizer (dlib replacement)
+            from avsync.models.localizer import (
+                gate_boxes,
+                localize_clip_boxes,
+            )
+
+            xf = x.astype(jnp.float32)
+            boxes = localize_clip_boxes(loc_params, xf)  # (B, 4)
+            # degenerate-prediction gate: a box capturing below-average
+            # temporal motion falls back to the heuristic crop for that
+            # clip (the weights are synthetic-trained)
+            heur = jnp.asarray(
+                [d.mouth_crop[0], 1.0, d.mouth_crop[1], d.mouth_crop[2]],
+                jnp.float32,
+            )
+            boxes = gate_boxes(xf, boxes, heur)
+            per_frame = jnp.broadcast_to(
+                boxes[:, None, :], (x.shape[0], x.shape[1], 4)
+            )
+            out = imglib.crop_resize_boxes(xf, per_frame, target) * (1.0 / 255.0)
+            return out[..., None]
+    else:
+        def run(x):
+            return imglib.preprocess_clips(
+                x.astype(jnp.float32), out_hw=target, crop=d.mouth_crop,
+            )
+    return run
+
+
 class LipNetBatcher:
     """Epoch iterators of host batches for LipNetTrainer.
 
@@ -119,6 +171,7 @@ class LipNetBatcher:
         self._combine = None  # row-wise cached/streamed merge (partial cache)
         self._detector = None
         self._localizer_params = None
+        self._host_roi_cache: Dict = {}  # per-geometry CPU-backend ROI jits
         if config.data.roi_mode == "detector":
             from avsync.data.mouth import MouthDetector
 
@@ -155,50 +208,11 @@ class LipNetBatcher:
                 def run(x):  # already mouth-cropped (preprocessed .npy path)
                     out = x.astype(jnp.float32) * (1.0 / 255.0)
                     return out[..., None]
-            elif d.roi_mode == "variance":
-                def run(x):  # on-device ROI localization + per-clip box crop
-                    xf = x.astype(jnp.float32)
-                    boxes = imglib.variance_mouth_boxes(xf)  # (B, 4)
-                    per_frame = jnp.broadcast_to(
-                        boxes[:, None, :], (x.shape[0], x.shape[1], 4)
-                    )
-                    out = imglib.crop_resize_boxes(
-                        xf, per_frame, (d.img_height, d.img_width)
-                    ) * (1.0 / 255.0)
-                    return out[..., None]
-            elif d.roi_mode == "model" and self._localizer_params is not None:
-                loc_params = self._localizer_params
-
-                def run(x):  # learned on-device localizer (dlib replacement)
-                    from avsync.models.localizer import (
-                        gate_boxes,
-                        localize_clip_boxes,
-                    )
-
-                    xf = x.astype(jnp.float32)
-                    boxes = localize_clip_boxes(loc_params, xf)  # (B, 4)
-                    # degenerate-prediction gate: a box capturing below-
-                    # average temporal motion falls back to the heuristic
-                    # crop for that clip (the weights are synthetic-trained)
-                    heur = jnp.asarray(
-                        [d.mouth_crop[0], 1.0, d.mouth_crop[1],
-                         d.mouth_crop[2]], jnp.float32,
-                    )
-                    boxes = gate_boxes(xf, boxes, heur)
-                    per_frame = jnp.broadcast_to(
-                        boxes[:, None, :], (x.shape[0], x.shape[1], 4)
-                    )
-                    out = imglib.crop_resize_boxes(
-                        xf, per_frame, (d.img_height, d.img_width)
-                    ) * (1.0 / 255.0)
-                    return out[..., None]
             else:
-                def run(x):
-                    return imglib.preprocess_clips(
-                        x.astype(jnp.float32),
-                        out_hw=(d.img_height, d.img_width),
-                        crop=d.mouth_crop,
-                    )
+                mode = d.roi_mode
+                if mode == "model" and self._localizer_params is None:
+                    mode = "heuristic"
+                run = make_roi_crop_fn(d, mode, self._localizer_params)
 
             def maybe_standardize(x, *b):
                 out = run(x, *b)
@@ -222,6 +236,41 @@ class LipNetBatcher:
             sh = batch_sharding(self.mesh)
             args = tuple(jax.device_put(a, sh) for a in args)
         return fn(*args)
+
+    def _host_roi_enabled(self) -> bool:
+        # 'detector' mode already computes boxes host-side; its crop stays
+        # on device where the per-frame gather is cheap.
+        return (bool(getattr(self.cfg.data, "roi_host", False))
+                and self._detector is None)
+
+    def _host_roi(self, raw: np.ndarray) -> np.ndarray:
+        """ROI localize+crop+resize on the HOST, emitting uint8 crops.
+
+        Runs the SAME program as the device path (make_roi_crop_fn) jitted
+        for the host CPU backend, then quantizes to uint8 — so only cropped
+        bytes (16x fewer than full frames) cross the host->device link.
+        This is the reference's own data layout (host dlib ROI + crop,
+        `train.py:126-203`) recast for thin-link deployments; fidelity
+        matches a preprocessed uint8 corpus. See DataConfig.roi_host."""
+        key = raw.shape[2:]
+        fn = self._host_roi_cache.get(key)
+        if fn is None:
+            d = self.cfg.data
+            mode = d.roi_mode
+            if mode == "model" and self._localizer_params is None:
+                mode = "heuristic"
+            run = make_roi_crop_fn(d, mode, self._localizer_params)
+
+            def quantized(x):
+                out = run(x)[..., 0]  # (B, T, h, w) f32 in [0, 1]
+                return jnp.clip(
+                    jnp.round(out * 255.0), 0.0, 255.0
+                ).astype(jnp.uint8)
+
+            fn = jax.jit(quantized)
+            self._host_roi_cache[key] = fn
+        with jax.default_device(jax.devices("cpu")[0]):
+            return np.asarray(fn(raw))
 
     def _decode_clip(self, video_path: str) -> np.ndarray:
         d = self.cfg.data
@@ -623,6 +672,12 @@ class LipNetBatcher:
                             )
                         )
                     )
+                    if self._host_roi_enabled() and raws.shape[2:] != (
+                        d.img_height, d.img_width,
+                    ):
+                        # full frames never leave the host: localize+crop
+                        # here (CPU backend), ship uint8 crops
+                        raws = self._host_roi(raws)
                     boxes = None
                     if self._detector is not None and raws.shape[2:] != (
                         d.img_height, d.img_width,

@@ -1,6 +1,7 @@
 """Data layer tests: discovery across the three layouts, synthetic corpus,
 decode, WAV I/O, batching pipeline feeding the trainer end-to-end."""
 
+import dataclasses
 import os
 
 import numpy as np
@@ -175,6 +176,80 @@ class TestBatcherEndToEnd:
         assert batch["video"].shape == (2, 4, 12, 20, 1)
         v = np.asarray(batch["video"])
         assert 0.0 <= v.min() and v.max() <= 1.0
+
+
+class TestHostRoi:
+    """roi_host=True must be invisible except for link bytes: the host runs
+    the SAME ROI program (make_roi_crop_fn) on the CPU backend and ships
+    uint8 crops, so batches match the device-ROI path to within one uint8
+    quantization step."""
+
+    def _corpus(self, tmp_path):
+        root = str(tmp_path / "gridhr")
+        synthetic.write_corpus(
+            root, n_speakers=1, clips_per_speaker=3, preprocessed=False,
+            n_frames=4, height=12, width=20, seed=7, with_audio=False,
+        )
+        return root
+
+    def _cfg(self, root, roi_host, roi_mode):
+        return AvsyncConfig(
+            data=DataConfig(
+                data_path=root, img_height=12, img_width=20,
+                max_video_length=4, batch_size=2, device_cache="off",
+                roi_host=roi_host, roi_mode=roi_mode,
+            )
+        )
+
+    @pytest.mark.parametrize("roi_mode", ["heuristic", "variance", "model"])
+    def test_host_roi_matches_device_roi(self, tmp_path, roi_mode):
+        root = self._corpus(tmp_path)
+        src = GridDataSource(root)
+        dev = list(
+            LipNetBatcher(src, self._cfg(root, False, roi_mode))
+            .epoch(shuffle=False, drop_last=False)
+        )
+        host = list(
+            LipNetBatcher(src, self._cfg(root, True, roi_mode))
+            .epoch(shuffle=False, drop_last=False)
+        )
+        assert len(dev) == len(host)
+        for db, hb in zip(dev, host):
+            dv, hv = np.asarray(db["video"]), np.asarray(hb["video"])
+            assert dv.shape == hv.shape
+            # uint8 quantization bounds the divergence at half a step
+            # (plus backend f32 rounding, far below it)
+            assert np.max(np.abs(dv - hv)) <= (0.5 + 1e-3) / 255.0
+            np.testing.assert_array_equal(db["labels"], hb["labels"])
+
+    def test_host_roi_ships_cropped_uint8(self, tmp_path):
+        root = self._corpus(tmp_path)
+        batcher = LipNetBatcher(
+            GridDataSource(root), self._cfg(root, True, "heuristic")
+        )
+        raw = batcher._decode_clip(batcher.source.samples[0].video_path)
+        crops = batcher._host_roi(raw[None])
+        assert crops.dtype == np.uint8
+        assert crops.shape == (1, 4, 12, 20)
+
+    def test_host_roi_feeds_device_cache(self, tmp_path):
+        root = self._corpus(tmp_path)
+        cfg = self._cfg(root, True, "heuristic")
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, device_cache="on")
+        )
+        batcher = LipNetBatcher(GridDataSource(root), cfg)
+        cached = list(batcher.epoch(shuffle=False, drop_last=False))
+        assert batcher._device_cache is not None
+        ref = list(
+            LipNetBatcher(GridDataSource(root), self._cfg(root, True,
+                                                          "heuristic"))
+            .epoch(shuffle=False, drop_last=False)
+        )
+        for cb, sb in zip(cached, ref):
+            np.testing.assert_array_equal(
+                np.asarray(cb["video"]), np.asarray(sb["video"])
+            )
 
 
 class TestDeviceCache:
