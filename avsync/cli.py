@@ -149,6 +149,7 @@ def _config_from_args(args) -> AvsyncConfig:
             "data_path": args.data_path,
             "batch_size": _arg("batch_size", base.data.batch_size),
             "roi_mode": _arg("roi_mode", base.data.roi_mode),
+            "roi_host": _arg("roi_host", base.data.roi_host),
             "device_cache": _arg("device_cache", base.data.device_cache),
         }
         if family == "tf" and base.model.family != "tf":
@@ -207,6 +208,7 @@ def _config_from_args(args) -> AvsyncConfig:
             img_height=46 if tf_family else 50,
             standardize_clips=tf_family,
             roi_mode=_arg("roi_mode", "heuristic"),
+            roi_host=bool(_arg("roi_host", False)),
             device_cache=_arg("device_cache", "auto"),
         ),
         model=ModelConfig(
@@ -950,6 +952,12 @@ def build_parser() -> argparse.ArgumentParser:
                              ".py); per-clip predictions that capture below-"
                              "average temporal motion fall back to the "
                              "heuristic crop")
+        sp.add_argument("--roi_host", action="store_true", default=None,
+                        help="run ROI crop+resize on the HOST and ship "
+                             "uint8 crops over the host->device link (16x "
+                             "fewer bytes than full frames); for thin-link "
+                             "deployments — same program as the device "
+                             "path, CPU backend")
         perf(sp)
 
     def perf(sp):
