@@ -524,6 +524,8 @@ def _bank_cache_path(cfg: AvsyncConfig, video_paths, checkpoint, cache_dir):
         "fps": cfg.detector.default_fps,
         "geometry": [cfg.data.img_height, cfg.data.img_width,
                      cfg.data.max_video_length, cfg.data.roi_mode,
+                     # roi_host changes bank values (uint8-quantized crops)
+                     cfg.data.roi_host,
                      cfg.data.standardize_clips],
         "model": [cfg.model.family, tuple(cfg.model.conv_channels),
                   cfg.model.compute_dtype, cfg.model.packed_conv],
@@ -952,7 +954,8 @@ def build_parser() -> argparse.ArgumentParser:
                              ".py); per-clip predictions that capture below-"
                              "average temporal motion fall back to the "
                              "heuristic crop")
-        sp.add_argument("--roi_host", action="store_true", default=None,
+        sp.add_argument("--roi_host", action=argparse.BooleanOptionalAction,
+                        default=None,
                         help="run ROI crop+resize on the HOST and ship "
                              "uint8 crops over the host->device link (16x "
                              "fewer bytes than full frames); for thin-link "

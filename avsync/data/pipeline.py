@@ -101,9 +101,10 @@ def make_roi_crop_fn(d, roi_mode: str, localizer_params=None):
 
     The ONE definition of the ROI program, shared by the device preprocess
     path and the host-side `roi_host` path (same XLA program, different
-    backend) so the two can never drift. `roi_mode` must already be
-    resolved ('variance' | 'model' with params | anything else = the
-    reference's fixed heuristic crop fractions)."""
+    backend) so the two can never drift — including the fallback rule:
+    'variance' | 'model' WITH params | anything else (notably 'model'
+    without localizer params) = the reference's fixed heuristic crop
+    fractions."""
     target = (d.img_height, d.img_width)
 
     if roi_mode == "variance":
@@ -209,10 +210,9 @@ class LipNetBatcher:
                     out = x.astype(jnp.float32) * (1.0 / 255.0)
                     return out[..., None]
             else:
-                mode = d.roi_mode
-                if mode == "model" and self._localizer_params is None:
-                    mode = "heuristic"
-                run = make_roi_crop_fn(d, mode, self._localizer_params)
+                run = make_roi_crop_fn(
+                    d, d.roi_mode, self._localizer_params
+                )
 
             def maybe_standardize(x, *b):
                 out = run(x, *b)
@@ -251,15 +251,18 @@ class LipNetBatcher:
         bytes (16x fewer than full frames) cross the host->device link.
         This is the reference's own data layout (host dlib ROI + crop,
         `train.py:126-203`) recast for thin-link deployments; fidelity
-        matches a preprocessed uint8 corpus. See DataConfig.roi_host."""
+        matches a preprocessed uint8 corpus. See DataConfig.roi_host.
+
+        Caveat: box SELECTION (variance argmax, gate_boxes threshold) is a
+        hard decision; a clip sitting exactly on the decision boundary can
+        resolve differently on CPU vs TPU f32 rounding, yielding a
+        different — equally valid — crop for that clip. Pixel values
+        within a matching box stay within one uint8 step (TestHostRoi)."""
         key = raw.shape[2:]
         fn = self._host_roi_cache.get(key)
         if fn is None:
             d = self.cfg.data
-            mode = d.roi_mode
-            if mode == "model" and self._localizer_params is None:
-                mode = "heuristic"
-            run = make_roi_crop_fn(d, mode, self._localizer_params)
+            run = make_roi_crop_fn(d, d.roi_mode, self._localizer_params)
 
             def quantized(x):
                 out = run(x)[..., 0]  # (B, T, h, w) f32 in [0, 1]
@@ -504,7 +507,9 @@ class LipNetBatcher:
         identical decode+preprocess path (padded to the full batch so the
         preprocess executable is shared with pure streaming), then merges
         row-wise on device — batch contents stay bit-identical to the
-        streamed path, and per-epoch host work scales with the UNcached
+        streamed path (within one uint8 step under roi_host, whose
+        quantization can flip at knife-edge pixels across batch
+        compositions), and per-epoch host work scales with the UNcached
         fraction only."""
         import jax.numpy as jnp
 
@@ -579,6 +584,15 @@ class LipNetBatcher:
                         raw = np.zeros((cap,) + decoded[0].shape, np.uint8)
                         for k, r in enumerate(decoded):
                             raw[k] = r
+                        if self._host_roi_enabled() and raw.shape[2:] != (
+                            d.img_height, d.img_width,
+                        ):  # missed rows ship as uint8 crops too — same
+                            # link-byte savings and same quantization as
+                            # the streamed path (_host_epoch); contents
+                            # match streaming within one uint8 step (batch-
+                            # composition ulp effects can flip round() at
+                            # knife-edge pixels — TestHostRoi)
+                            raw = self._host_roi(raw)
                         if self._detector is not None and raw.shape[2:] != (
                             d.img_height, d.img_width,
                         ):  # host-cascade ROI, as in _host_epoch

@@ -54,9 +54,10 @@ def main() -> int:
     stamp = time.strftime("%Y-%m-%dT%H:%MZ", time.gmtime())
     entry["avsync"].update(fresh)
     entry["avsync"]["throughput_provenance"] = (
-        f"re-measured {stamp} under a healthy axon tunnel "
-        f"(session handshake {link['handshake_s']} s, "
-        f"H2D {link['h2d_mb_s']} MB/s)"
+        f"re-measured {stamp}; tunnel probe at run start: session "
+        f"handshake {link['handshake_s']} s, H2D {link['h2d_mb_s']} MB/s "
+        "(the handshake is paid once per process, outside the timed "
+        "epochs; H2D bounds the full-frame rates)"
     )
     entry["avsync"]["mfcc_parity_provenance"] = (
         f"measured {stamp} on v5e post-a169b0b (MFCC einsums pinned to "

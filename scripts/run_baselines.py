@@ -302,7 +302,7 @@ def scenario_2_preprocessing(results, skip_reference):
     from avsync.ops import audio as audiolib
     from avsync.ops import audio_ref
 
-    def measure(path, roi_mode):
+    def measure(path, roi_mode, roi_host=False):
         # device_cache MUST be off here: this scenario bills itself as
         # decode+preprocess+H2D throughput (vs the reference's per-clip CPU
         # loop). Under the default 'auto' the 24-clip corpus is pinned in
@@ -310,7 +310,7 @@ def scenario_2_preprocessing(results, skip_reference):
         # gather — a different (much cheaper) workload.
         cfg = AvsyncConfig(
             data=DataConfig(data_path=path, batch_size=8, roi_mode=roi_mode,
-                            device_cache="off")
+                            device_cache="off", roi_host=roi_host)
         )
         src = GridDataSource(path)
         batcher = LipNetBatcher(src, cfg)
@@ -334,6 +334,9 @@ def scenario_2_preprocessing(results, skip_reference):
 
     proc_rate = measure(CORPUS, "heuristic")
     roi_rate = measure(FULLFRAME, "model")
+    # thin-link variant: ROI on the host CPU backend, uint8 crops over the
+    # link (16x fewer bytes) — see DataConfig.roi_host
+    roi_host_rate = measure(FULLFRAME, "model", roi_host=True)
     cfg = AvsyncConfig(data=DataConfig(data_path=FULLFRAME))
     src = GridDataSource(FULLFRAME)
     n = len(src)
@@ -371,6 +374,19 @@ def scenario_2_preprocessing(results, skip_reference):
             "hardware": "1x TPU v5e + host decode (1 CPU core)",
             "processed_clips_per_sec": round(proc_rate, 2),
             "fullframe_roi_clips_per_sec": round(roi_rate, 2),
+            "fullframe_roi_host_clips_per_sec": round(roi_host_rate, 2),
+            "roi_host_note": "DataConfig.roi_host=True: the SAME ROI "
+                             "program jitted for the host CPU backend, "
+                             "shipping uint8 crops (16x fewer link bytes) "
+                             "instead of full frames; batches match the "
+                             "device-ROI path within one uint8 step "
+                             "(tests/test_data.py::TestHostRoi)",
+            "protocol": "device_cache='off' — every timed epoch streams "
+                        "host decode + H2D + device preprocess (the "
+                        "workload this scenario bills); the default "
+                        "'auto' cache would pin the corpus in HBM after "
+                        "epoch 1 and turn the timed epochs into pure "
+                        "on-device gathers",
             "roi_mode": "model (learned localizer)",
             "mfcc_batch_ms": round(mfcc_wall * 1e3, 2),
             "mfcc_scale_rel_err_vs_f64_oracle": float(rel),

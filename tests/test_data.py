@@ -232,6 +232,45 @@ class TestHostRoi:
         assert crops.dtype == np.uint8
         assert crops.shape == (1, 4, 12, 20)
 
+    def test_host_roi_partial_cache_matches_streamed(self, tmp_path):
+        """roi_host with a PARTIAL device cache: missed rows must also ship
+        as host-ROI uint8 crops (same quantization, same link-byte savings
+        as the streamed path). Contents match streaming to within one uint8
+        step — not bit-exactly: a clip processed in a different batch
+        composition can see ulp-level XLA reduction-order differences in
+        the localizer/resize, flipping round() at knife-edge pixels (~20
+        of 192k observed)."""
+        root = str(tmp_path / "gridhrp")
+        # 384 kB/clip preprocessed so a 1 MB budget caches 2 of 5 clips
+        synthetic.write_corpus(
+            root, n_speakers=1, clips_per_speaker=5, preprocessed=False,
+            n_frames=4, height=120, width=200, seed=17, with_audio=False,
+        )
+        base = AvsyncConfig(
+            data=DataConfig(
+                data_path=root, img_height=120, img_width=200,
+                max_video_length=4, batch_size=2, roi_host=True,
+                roi_mode="model", device_cache="auto",
+                device_cache_budget_mb=1,
+            )
+        )
+        streamed = LipNetBatcher(
+            GridDataSource(root),
+            dataclasses.replace(
+                base, data=dataclasses.replace(base.data, device_cache="off")
+            ),
+        )
+        cached = LipNetBatcher(GridDataSource(root), base)
+        kw = dict(shuffle=True, seed=3, drop_last=False)
+        a = [np.asarray(b["video"]) for b in streamed.epoch(**kw)]
+        list(cached.epoch(**kw))  # second call serves from the cache
+        b = [np.asarray(x["video"]) for x in cached.epoch(**kw)]
+        assert cached._device_cache is not None
+        assert 0 < cached._device_cache["n_cached"] < 5
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            assert np.max(np.abs(x - y)) <= (1.0 + 1e-3) / 255.0
+
     def test_host_roi_feeds_device_cache(self, tmp_path):
         root = self._corpus(tmp_path)
         cfg = self._cfg(root, True, "heuristic")
