@@ -452,13 +452,11 @@ def cmd_test(args) -> int:
 
 def cmd_infer(args) -> int:
     import jax
-    import jax.numpy as jnp
 
     from avsync import text as textlib
     from avsync.data.video import decode_video_gray
     from avsync.eval import calculate_cer, calculate_wer
     from avsync.models import make_lipnet
-    from avsync.ops import image as imglib
 
     cfg = _config_from_args(args)
     model = make_lipnet(cfg.model)
@@ -473,13 +471,11 @@ def cmd_infer(args) -> int:
     if frames.size == 0:
         print(f"ERROR: no frames decoded from {args.video}")
         return 1
-    d = cfg.data
-    x = jnp.asarray(frames, jnp.float32)[None]
-    if frames.shape[1:] == (d.img_height, d.img_width):
-        clips = (x * (1.0 / 255.0))[..., None]
-    else:
-        clips = imglib.preprocess_clips(x, (d.img_height, d.img_width), d.mouth_crop)
-    clips, _ = imglib.pad_or_truncate_time(clips, d.max_video_length)
+    # the serving preprocess (same ROI program + standardize semantics as
+    # the training pipeline — see predictor.prepare_clip)
+    from avsync.predictor import load_localizer_params, prepare_clip
+
+    clips = prepare_clip(frames, cfg, load_localizer_params(cfg))
     log_probs = jax.jit(lambda p, v: model.apply({"params": p}, v))(params, clips)
     pred = decode(log_probs, beam_width=args.beam)[0]
     print(f"Predicted: {pred}")

@@ -30,18 +30,48 @@ def _load_params(checkpoint: str, cfg: AvsyncConfig):
     return _load_lipnet_params(checkpoint, None, cfg)
 
 
-def prepare_clip(frames: np.ndarray, cfg: AvsyncConfig) -> jax.Array:
-    """(T, H, W) uint8/float -> (1, max_len, h, w, 1) model input: device
-    crop/resize for native-size frames, plain /255 for preprocessed ones."""
+def load_localizer_params(cfg: AvsyncConfig):
+    """Bundled localizer weights when cfg asks for the learned ROI; None
+    (heuristic fallback, same rule as the training pipeline) otherwise."""
+    if cfg.data.roi_mode != "model":
+        return None
+    try:
+        from avsync.models.localizer import load_bundled_params
+
+        return load_bundled_params()
+    except FileNotFoundError:
+        import warnings
+
+        warnings.warn(
+            "localizer weight bundle missing; roi_mode='model' falls back "
+            "to the heuristic crop"
+        )
+        return None
+
+
+def prepare_clip(
+    frames: np.ndarray, cfg: AvsyncConfig, localizer_params=None
+) -> jax.Array:
+    """(T, H, W) uint8/float -> (1, max_len, h, w, 1) model input: the SAME
+    ROI program the training pipeline runs (make_roi_crop_fn — heuristic /
+    variance / learned localizer per cfg.data.roi_mode) for native-size
+    frames, plain /255 for preprocessed ones. Pass localizer_params (see
+    load_localizer_params) for roi_mode='model'; serving classes load them
+    once at construction."""
+    from avsync.data.pipeline import make_roi_crop_fn
+
     d = cfg.data
     x = jnp.asarray(frames, jnp.float32)[None]
     if frames.shape[1:] == (d.img_height, d.img_width):
         clips = (x * (1.0 / 255.0))[..., None]
     else:
-        clips = imglib.preprocess_clips(
-            x, (d.img_height, d.img_width), d.mouth_crop
-        )
+        clips = make_roi_crop_fn(d, d.roi_mode, localizer_params)(x)
     clips, _ = imglib.pad_or_truncate_time(clips, d.max_video_length)
+    if d.standardize_clips:
+        # AFTER padding, matching the training pipeline (decode pads to
+        # max_video_length before preprocess, so the per-clip mean/std
+        # include the zero padding — `train.py:266-273` semantics)
+        clips = imglib.standardize_clips(clips)
     return clips
 
 
@@ -52,6 +82,7 @@ class LipReader:
         self.cfg = config or AvsyncConfig()
         self.model = make_lipnet(self.cfg.model)
         self.params = _load_params(checkpoint, self.cfg)
+        self._loc_params = load_localizer_params(self.cfg)
         self._fwd = jax.jit(
             lambda p, v: self.model.apply({"params": p}, v)
         )
@@ -62,7 +93,9 @@ class LipReader:
         )
 
     def predict_frames(self, frames: np.ndarray) -> str:
-        log_probs = self._fwd(self.params, prepare_clip(frames, self.cfg))
+        log_probs = self._fwd(
+            self.params, prepare_clip(frames, self.cfg, self._loc_params)
+        )
         return self._decode(log_probs)[0]
 
     def predict(self, video_path: str) -> str:
@@ -88,7 +121,7 @@ class LipReader:
             )
             if frames.size == 0:
                 raise ValueError(f"no frames decoded from {p}")
-            clips.append(prepare_clip(frames, self.cfg))
+            clips.append(prepare_clip(frames, self.cfg, self._loc_params))
         log_probs = self._fwd(self.params, jnp.concatenate(clips, axis=0))
         return self._decode(log_probs)
 
@@ -116,6 +149,7 @@ class MisalignmentScorer:
         self.det_params = jax.tree.map(jnp.asarray, det_params)
         self.lipnet = make_lipnet(self.cfg.model)
         self.lip_params = _load_params(lipnet_checkpoint, self.cfg)
+        self._loc_params = load_localizer_params(self.cfg)
         self._score = jax.jit(
             lambda p, f: jax.nn.sigmoid(self.detector.apply({"params": p}, f))
         )
@@ -130,7 +164,7 @@ class MisalignmentScorer:
         """(T,H,W) frames + mono 16 kHz audio -> sync probs per shift."""
         from avsync.features import build_feature_bank, gather_features
 
-        clips = prepare_clip(frames, self.cfg)
+        clips = prepare_clip(frames, self.cfg, self._loc_params)
         bank = build_feature_bank(
             self.lipnet, self.lip_params, [clips], [audio], [fps], self.cfg
         )

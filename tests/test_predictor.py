@@ -72,6 +72,58 @@ class TestLipReader:
         out = reader.predict_frames(frames)
         assert isinstance(out, str)
 
+    def test_serving_roi_matches_training_pipeline(self, checkpoints):
+        """prepare_clip must run the SAME ROI program as the training
+        pipeline for every roi_mode — a serving stack that crops
+        differently than training silently degrades accuracy."""
+        import dataclasses
+
+        from avsync.data.pipeline import LipNetBatcher
+        from avsync.predictor import load_localizer_params, prepare_clip
+
+        rng = np.random.default_rng(2)
+        frames = rng.integers(0, 255, (8, 64, 128), np.uint8)
+        for roi_mode in ("heuristic", "variance", "model"):
+            cfg = dataclasses.replace(
+                TINY, data=dataclasses.replace(TINY.data, roi_mode=roi_mode)
+            )
+            served = np.asarray(
+                prepare_clip(frames, cfg, load_localizer_params(cfg))
+            )
+            trained = np.asarray(
+                LipNetBatcher(None, cfg)._preprocess(frames[None])
+            )
+            np.testing.assert_allclose(
+                served[0], trained[0], atol=1e-6,
+                err_msg=f"roi_mode={roi_mode}",
+            )
+
+    def test_serving_standardize_matches_training(self, checkpoints):
+        """TF-family semantics: standardize_clips must apply in serving too,
+        over the zero-PADDED clip exactly as the training pipeline does
+        (decode pads to max_video_length before preprocess)."""
+        import dataclasses
+
+        from avsync.data.pipeline import LipNetBatcher
+        from avsync.predictor import prepare_clip
+
+        cfg = dataclasses.replace(
+            TINY, data=dataclasses.replace(TINY.data, standardize_clips=True)
+        )
+        rng = np.random.default_rng(3)
+        frames = rng.integers(0, 255, (5, 64, 128), np.uint8)  # < max_len 8
+        served = np.asarray(prepare_clip(frames, cfg))
+        padded = np.concatenate(
+            [frames, np.zeros((3, 64, 128), np.uint8)], axis=0
+        )
+        trained = np.asarray(
+            LipNetBatcher(None, cfg)._preprocess(padded[None])
+        )
+        assert served.shape == trained.shape
+        np.testing.assert_allclose(served[0], trained[0], atol=1e-5)
+        # and it really is standardized (per-clip ~zero mean)
+        assert abs(float(served.mean())) < 1e-3
+
     def test_empty_video_raises(self, checkpoints, tmp_path):
         reader = LipReader(checkpoints["lipnet"], TINY)
         p = str(tmp_path / "empty.npy")
