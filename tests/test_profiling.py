@@ -9,15 +9,33 @@ from avsync.utils.profiling import MetricsWriter, StepTimer, trace
 
 
 class TestStepTimer:
-    def test_summary_excludes_warmup(self):
+    def test_summary_excludes_warmup(self, monkeypatch):
+        # fake clock: real time.sleep overshoots arbitrarily under
+        # full-suite load on this single-core box (observed flake), and
+        # the unit under test is the bookkeeping, not the OS scheduler
+        now = [0.0]
+        durations = iter((0.05, 0.01, 0.01))
+        from avsync.utils import profiling as prof
+
+        calls = {"entered": False}
+
+        def fake_clock():
+            if not calls["entered"]:  # __enter__ stamp
+                calls["entered"] = True
+            else:  # __exit__ stamp: advance by this step's duration
+                now[0] += next(durations)
+                calls["entered"] = False
+            return now[0]
+
+        monkeypatch.setattr(prof.time, "perf_counter", fake_clock)
         t = StepTimer(warmup=1)
-        for d in (0.05, 0.01, 0.01):
+        for _ in range(3):
             with t:
-                time.sleep(d)
+                pass
         s = t.summary()
         assert s["steps"] == 2
-        assert s["mean_s"] < 0.03  # the 50 ms warmup step is excluded
-        assert s["total_s"] > 0.06
+        assert abs(s["mean_s"] - 0.01) < 1e-9  # 50 ms warmup excluded
+        assert abs(s["total_s"] - 0.07) < 1e-9
 
     def test_empty(self):
         assert StepTimer().summary() == {"steps": 0}
