@@ -473,9 +473,15 @@ def cmd_infer(args) -> int:
         return 1
     # the serving preprocess (same ROI program + standardize semantics as
     # the training pipeline — see predictor.prepare_clip)
-    from avsync.predictor import load_localizer_params, prepare_clip
+    from avsync.predictor import (
+        load_localizer_params,
+        load_mouth_detector,
+        prepare_clip,
+    )
 
-    clips = prepare_clip(frames, cfg, load_localizer_params(cfg))
+    clips = prepare_clip(
+        frames, cfg, load_localizer_params(cfg), load_mouth_detector(cfg)
+    )
     log_probs = jax.jit(lambda p, v: model.apply({"params": p}, v))(params, clips)
     pred = decode(log_probs, beam_width=args.beam)[0]
     print(f"Predicted: {pred}")

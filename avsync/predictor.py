@@ -49,21 +49,39 @@ def load_localizer_params(cfg: AvsyncConfig):
         return None
 
 
+def load_mouth_detector(cfg: AvsyncConfig):
+    """Host cascade detector when cfg asks for roi_mode='detector'; None
+    otherwise. Serving classes construct it once, like the pipeline."""
+    if cfg.data.roi_mode != "detector":
+        return None
+    from avsync.data.mouth import MouthDetector
+
+    return MouthDetector()
+
+
 def prepare_clip(
-    frames: np.ndarray, cfg: AvsyncConfig, localizer_params=None
+    frames: np.ndarray, cfg: AvsyncConfig, localizer_params=None,
+    mouth_detector=None,
 ) -> jax.Array:
     """(T, H, W) uint8/float -> (1, max_len, h, w, 1) model input: the SAME
     ROI program the training pipeline runs (make_roi_crop_fn — heuristic /
-    variance / learned localizer per cfg.data.roi_mode) for native-size
-    frames, plain /255 for preprocessed ones. Pass localizer_params (see
-    load_localizer_params) for roi_mode='model'; serving classes load them
-    once at construction."""
+    variance / learned localizer per cfg.data.roi_mode, or host cascade
+    boxes + device crop for roi_mode='detector') for native-size frames,
+    plain /255 for preprocessed ones. Pass localizer_params /
+    mouth_detector (see load_localizer_params / load_mouth_detector);
+    serving classes load them once at construction."""
     from avsync.data.pipeline import make_roi_crop_fn
 
     d = cfg.data
     x = jnp.asarray(frames, jnp.float32)[None]
     if frames.shape[1:] == (d.img_height, d.img_width):
         clips = (x * (1.0 / 255.0))[..., None]
+    elif d.roi_mode == "detector" and mouth_detector is not None:
+        # host cascade boxes + device crop, the pipeline's detector path
+        boxes = jnp.asarray(mouth_detector.detect_clip(frames))[None]
+        clips = (imglib.crop_resize_boxes(
+            x, boxes, (d.img_height, d.img_width)
+        ) * (1.0 / 255.0))[..., None]
     else:
         clips = make_roi_crop_fn(d, d.roi_mode, localizer_params)(x)
     clips, _ = imglib.pad_or_truncate_time(clips, d.max_video_length)
@@ -83,6 +101,7 @@ class LipReader:
         self.model = make_lipnet(self.cfg.model)
         self.params = _load_params(checkpoint, self.cfg)
         self._loc_params = load_localizer_params(self.cfg)
+        self._mouth = load_mouth_detector(self.cfg)
         self._fwd = jax.jit(
             lambda p, v: self.model.apply({"params": p}, v)
         )
@@ -94,7 +113,8 @@ class LipReader:
 
     def predict_frames(self, frames: np.ndarray) -> str:
         log_probs = self._fwd(
-            self.params, prepare_clip(frames, self.cfg, self._loc_params)
+            self.params,
+            prepare_clip(frames, self.cfg, self._loc_params, self._mouth),
         )
         return self._decode(log_probs)[0]
 
@@ -121,7 +141,9 @@ class LipReader:
             )
             if frames.size == 0:
                 raise ValueError(f"no frames decoded from {p}")
-            clips.append(prepare_clip(frames, self.cfg, self._loc_params))
+            clips.append(
+                prepare_clip(frames, self.cfg, self._loc_params, self._mouth)
+            )
         log_probs = self._fwd(self.params, jnp.concatenate(clips, axis=0))
         return self._decode(log_probs)
 
@@ -150,6 +172,7 @@ class MisalignmentScorer:
         self.lipnet = make_lipnet(self.cfg.model)
         self.lip_params = _load_params(lipnet_checkpoint, self.cfg)
         self._loc_params = load_localizer_params(self.cfg)
+        self._mouth = load_mouth_detector(self.cfg)
         self._score = jax.jit(
             lambda p, f: jax.nn.sigmoid(self.detector.apply({"params": p}, f))
         )
@@ -164,7 +187,9 @@ class MisalignmentScorer:
         """(T,H,W) frames + mono 16 kHz audio -> sync probs per shift."""
         from avsync.features import build_feature_bank, gather_features
 
-        clips = prepare_clip(frames, self.cfg, self._loc_params)
+        clips = prepare_clip(
+            frames, self.cfg, self._loc_params, self._mouth
+        )
         bank = build_feature_bank(
             self.lipnet, self.lip_params, [clips], [audio], [fps], self.cfg
         )

@@ -81,17 +81,25 @@ class TestLipReader:
         from avsync.data.pipeline import LipNetBatcher
         from avsync.predictor import load_localizer_params, prepare_clip
 
+        from avsync.predictor import load_mouth_detector
+
         rng = np.random.default_rng(2)
         frames = rng.integers(0, 255, (8, 64, 128), np.uint8)
-        for roi_mode in ("heuristic", "variance", "model"):
+        for roi_mode in ("heuristic", "variance", "model", "detector"):
             cfg = dataclasses.replace(
                 TINY, data=dataclasses.replace(TINY.data, roi_mode=roi_mode)
             )
             served = np.asarray(
-                prepare_clip(frames, cfg, load_localizer_params(cfg))
+                prepare_clip(frames, cfg, load_localizer_params(cfg),
+                             load_mouth_detector(cfg))
+            )
+            batcher = LipNetBatcher(None, cfg)
+            boxes = (
+                batcher._detector.detect_clip(frames)[None]
+                if batcher._detector is not None else None
             )
             trained = np.asarray(
-                LipNetBatcher(None, cfg)._preprocess(frames[None])
+                batcher._preprocess(frames[None], boxes)
             )
             np.testing.assert_allclose(
                 served[0], trained[0], atol=1e-6,
