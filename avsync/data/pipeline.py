@@ -257,7 +257,11 @@ class LipNetBatcher:
         hard decision; a clip sitting exactly on the decision boundary can
         resolve differently on CPU vs TPU f32 rounding, yielding a
         different — equally valid — crop for that clip. Pixel values
-        within a matching box stay within one uint8 step (TestHostRoi)."""
+        within a matching box stay within one uint8 step (TestHostRoi).
+
+        Concurrency: jax.default_device is THREAD-LOCAL (verified on this
+        jax), so entering it here — on the prefetch/decode thread — cannot
+        misroute the consumer thread's concurrent TPU dispatches."""
         key = raw.shape[2:]
         fn = self._host_roi_cache.get(key)
         if fn is None:
