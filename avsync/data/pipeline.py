@@ -178,17 +178,9 @@ class LipNetBatcher:
 
             self._detector = MouthDetector()
         elif config.data.roi_mode == "model":
-            from avsync.models.localizer import load_bundled_params
+            from avsync.models.localizer import load_bundled_params_or_none
 
-            try:
-                self._localizer_params = load_bundled_params()
-            except FileNotFoundError:
-                import warnings
-
-                warnings.warn(
-                    "localizer weight bundle missing; roi_mode='model' "
-                    "falls back to the heuristic crop"
-                )
+            self._localizer_params = load_bundled_params_or_none()
 
     # -- device preprocessing, compiled per input geometry ----------------
     def _preprocess(self, raw: np.ndarray, boxes=None) -> jax.Array:

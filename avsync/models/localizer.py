@@ -186,3 +186,19 @@ def load_bundled_params(path: str = _WEIGHTS_FILE):
     with np.load(path) as z:
         flat = {tuple(k.split("/")): jnp.asarray(z[k]) for k in z.files}
     return unflatten_dict(flat)
+
+
+def load_bundled_params_or_none(path: str = _WEIGHTS_FILE):
+    """Bundled weights, or None (with a warning) when the bundle is absent —
+    the ONE definition of the missing-weights fallback policy, shared by the
+    training pipeline and the serving API so the two can't drift."""
+    try:
+        return load_bundled_params(path)
+    except FileNotFoundError:
+        import warnings
+
+        warnings.warn(
+            "localizer weight bundle missing; roi_mode='model' "
+            "falls back to the heuristic crop"
+        )
+        return None

@@ -32,21 +32,14 @@ def _load_params(checkpoint: str, cfg: AvsyncConfig):
 
 def load_localizer_params(cfg: AvsyncConfig):
     """Bundled localizer weights when cfg asks for the learned ROI; None
-    (heuristic fallback, same rule as the training pipeline) otherwise."""
+    (heuristic fallback — the policy lives in ONE place,
+    models.localizer.load_bundled_params_or_none, shared with the training
+    pipeline) otherwise."""
     if cfg.data.roi_mode != "model":
         return None
-    try:
-        from avsync.models.localizer import load_bundled_params
+    from avsync.models.localizer import load_bundled_params_or_none
 
-        return load_bundled_params()
-    except FileNotFoundError:
-        import warnings
-
-        warnings.warn(
-            "localizer weight bundle missing; roi_mode='model' falls back "
-            "to the heuristic crop"
-        )
-        return None
+    return load_bundled_params_or_none()
 
 
 def load_mouth_detector(cfg: AvsyncConfig):
@@ -61,36 +54,82 @@ def load_mouth_detector(cfg: AvsyncConfig):
 
 def prepare_clip(
     frames: np.ndarray, cfg: AvsyncConfig, localizer_params=None,
-    mouth_detector=None,
+    mouth_detector=None, _cache=None,
 ) -> jax.Array:
-    """(T, H, W) uint8/float -> (1, max_len, h, w, 1) model input: the SAME
-    ROI program the training pipeline runs (make_roi_crop_fn — heuristic /
-    variance / learned localizer per cfg.data.roi_mode, or host cascade
-    boxes + device crop for roi_mode='detector') for native-size frames,
-    plain /255 for preprocessed ones. Pass localizer_params /
-    mouth_detector (see load_localizer_params / load_mouth_detector);
-    serving classes load them once at construction."""
+    """(T, H, W) uint8/float -> (1, max_len, h, w, 1) model input — the SAME
+    preprocess the training pipeline runs, in the same order:
+
+      1. pad/truncate the RAW frames to max_video_length (training's
+         _decode_clip pads before _preprocess, so ROI box statistics —
+         variance heatmaps, localizer pooling, per-clip standardize —
+         include the zero tail; computing boxes on unpadded frames diverged
+         by up to 0.86 on [0,1] pixels at T=5, caught in review);
+      2. ROI program per cfg.data.roi_mode (make_roi_crop_fn, or host
+         cascade boxes + device crop for 'detector') for native-size
+         frames, plain /255 for already-cropped ones;
+      3. per-clip standardize when the config asks (TF family).
+
+    localizer_params / mouth_detector are loaded on demand when the mode
+    needs them and the caller passed None; serving classes preload them
+    once and pass their per-instance `_cache` dict so the whole chain
+    compiles once per frame geometry (the pipeline's _preproc_cache
+    discipline)."""
     from avsync.data.pipeline import make_roi_crop_fn
 
     d = cfg.data
-    x = jnp.asarray(frames, jnp.float32)[None]
-    if frames.shape[1:] == (d.img_height, d.img_width):
-        clips = (x * (1.0 / 255.0))[..., None]
-    elif d.roi_mode == "detector" and mouth_detector is not None:
-        # host cascade boxes + device crop, the pipeline's detector path
-        boxes = jnp.asarray(mouth_detector.detect_clip(frames))[None]
-        clips = (imglib.crop_resize_boxes(
-            x, boxes, (d.img_height, d.img_width)
-        ) * (1.0 / 255.0))[..., None]
+    frames = np.asarray(frames)
+    T = frames.shape[0]
+    if T >= d.max_video_length:
+        frames = frames[: d.max_video_length]
     else:
-        clips = make_roi_crop_fn(d, d.roi_mode, localizer_params)(x)
-    clips, _ = imglib.pad_or_truncate_time(clips, d.max_video_length)
-    if d.standardize_clips:
-        # AFTER padding, matching the training pipeline (decode pads to
-        # max_video_length before preprocess, so the per-clip mean/std
-        # include the zero padding — `train.py:266-273` semantics)
-        clips = imglib.standardize_clips(clips)
-    return clips
+        frames = np.concatenate(
+            [frames,
+             np.zeros((d.max_video_length - T,) + frames.shape[1:],
+                      frames.dtype)],
+            axis=0,
+        )
+    target = (d.img_height, d.img_width)
+    native = frames.shape[1:] != target
+    boxes = None
+    if native and d.roi_mode == "detector":
+        if mouth_detector is None:
+            mouth_detector = load_mouth_detector(cfg)
+        # the cascade requires 8-bit input (training always decodes uint8)
+        boxes = mouth_detector.detect_clip(
+            np.ascontiguousarray(np.clip(frames, 0, 255)).astype(np.uint8)
+        )[None]
+
+    key = (frames.shape, native, boxes is not None)
+    fn = None if _cache is None else _cache.get(key)
+    if fn is None:
+        if not native:
+            def run(x):
+                out = (x * (1.0 / 255.0))[..., None]
+                return (imglib.standardize_clips(out)
+                        if d.standardize_clips else out)
+        elif boxes is not None:
+            def run(x, b):
+                out = (imglib.crop_resize_boxes(x, b, target)
+                       * (1.0 / 255.0))[..., None]
+                return (imglib.standardize_clips(out)
+                        if d.standardize_clips else out)
+        else:
+            lp = localizer_params
+            if d.roi_mode == "model" and lp is None:
+                lp = load_localizer_params(cfg)
+            roi = make_roi_crop_fn(d, d.roi_mode, lp)
+
+            def run(x):
+                out = roi(x)
+                return (imglib.standardize_clips(out)
+                        if d.standardize_clips else out)
+        fn = jax.jit(run)
+        if _cache is not None:
+            _cache[key] = fn
+    x = jnp.asarray(frames, jnp.float32)[None]
+    if boxes is not None:
+        return fn(x, jnp.asarray(boxes, jnp.float32))
+    return fn(x)
 
 
 class LipReader:
@@ -102,6 +141,7 @@ class LipReader:
         self.params = _load_params(checkpoint, self.cfg)
         self._loc_params = load_localizer_params(self.cfg)
         self._mouth = load_mouth_detector(self.cfg)
+        self._prep_cache: dict = {}  # jitted preprocess per frame geometry
         self._fwd = jax.jit(
             lambda p, v: self.model.apply({"params": p}, v)
         )
@@ -114,7 +154,8 @@ class LipReader:
     def predict_frames(self, frames: np.ndarray) -> str:
         log_probs = self._fwd(
             self.params,
-            prepare_clip(frames, self.cfg, self._loc_params, self._mouth),
+            prepare_clip(frames, self.cfg, self._loc_params, self._mouth,
+                         _cache=self._prep_cache),
         )
         return self._decode(log_probs)[0]
 
@@ -142,7 +183,8 @@ class LipReader:
             if frames.size == 0:
                 raise ValueError(f"no frames decoded from {p}")
             clips.append(
-                prepare_clip(frames, self.cfg, self._loc_params, self._mouth)
+                prepare_clip(frames, self.cfg, self._loc_params, self._mouth,
+                             _cache=self._prep_cache)
             )
         log_probs = self._fwd(self.params, jnp.concatenate(clips, axis=0))
         return self._decode(log_probs)
@@ -173,6 +215,7 @@ class MisalignmentScorer:
         self.lip_params = _load_params(lipnet_checkpoint, self.cfg)
         self._loc_params = load_localizer_params(self.cfg)
         self._mouth = load_mouth_detector(self.cfg)
+        self._prep_cache: dict = {}  # jitted preprocess per frame geometry
         self._score = jax.jit(
             lambda p, f: jax.nn.sigmoid(self.detector.apply({"params": p}, f))
         )
@@ -188,7 +231,8 @@ class MisalignmentScorer:
         from avsync.features import build_feature_bank, gather_features
 
         clips = prepare_clip(
-            frames, self.cfg, self._loc_params, self._mouth
+            frames, self.cfg, self._loc_params, self._mouth,
+            _cache=self._prep_cache,
         )
         bank = build_feature_bank(
             self.lipnet, self.lip_params, [clips], [audio], [fps], self.cfg

@@ -79,12 +79,21 @@ class TestLipReader:
         import dataclasses
 
         from avsync.data.pipeline import LipNetBatcher
-        from avsync.predictor import load_localizer_params, prepare_clip
-
-        from avsync.predictor import load_mouth_detector
+        from avsync.predictor import (
+            load_localizer_params,
+            load_mouth_detector,
+            prepare_clip,
+        )
 
         rng = np.random.default_rng(2)
-        frames = rng.integers(0, 255, (8, 64, 128), np.uint8)
+        # T=5 < max_video_length=8: training pads the RAW frames before the
+        # ROI program, so box statistics include the zero tail — serving
+        # must do the same (computing boxes on unpadded frames diverged by
+        # up to 0.86 on [0,1] pixels for 'variance', caught in review)
+        frames = rng.integers(0, 255, (5, 64, 128), np.uint8)
+        padded = np.concatenate(
+            [frames, np.zeros((3, 64, 128), np.uint8)], axis=0
+        )
         for roi_mode in ("heuristic", "variance", "model", "detector"):
             cfg = dataclasses.replace(
                 TINY, data=dataclasses.replace(TINY.data, roi_mode=roi_mode)
@@ -95,11 +104,11 @@ class TestLipReader:
             )
             batcher = LipNetBatcher(None, cfg)
             boxes = (
-                batcher._detector.detect_clip(frames)[None]
+                batcher._detector.detect_clip(padded)[None]
                 if batcher._detector is not None else None
             )
             trained = np.asarray(
-                batcher._preprocess(frames[None], boxes)
+                batcher._preprocess(padded[None], boxes)
             )
             np.testing.assert_allclose(
                 served[0], trained[0], atol=1e-6,

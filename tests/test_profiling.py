@@ -1,7 +1,6 @@
 """Observability subsystem tests."""
 
 import os
-import time
 
 import numpy as np
 
