@@ -67,6 +67,25 @@ def trained_pth(workdir):
 
 
 class TestTrainFlow:
+    def test_roi_host_flag_threads_to_training(self, workdir, tmp_path,
+                                               capsys):
+        """--roi_host must reach the batcher: a quick_test pass over a
+        FULL-FRAME corpus with the flag on runs the host-ROI path end to
+        end through the real CLI (config resolution + pipeline)."""
+        corpus = str(tmp_path / "ff")
+        synthetic.write_corpus(
+            corpus, n_speakers=3, clips_per_speaker=2, preprocessed=False,
+            n_frames=8, height=16, width=32, seed=21,
+        )
+        rc = run_cli([
+            "train", "--data_path", corpus,
+            "--config", workdir["cfg_path"],
+            "--roi_host", "--roi_mode", "model", "--quick_test",
+            "--checkpoint_dir", str(tmp_path / "ck"),
+        ])
+        assert rc == 0
+        assert "quick_test: input" in capsys.readouterr().out
+
     def test_quick_test_mode(self, workdir, capsys):
         rc = run_cli([
             "train", "--data_path", workdir["corpus"],
