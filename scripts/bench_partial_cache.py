@@ -58,7 +58,13 @@ def main() -> int:
     src = GridDataSource(CORPUS)
     # smaller batch than bench.py's 128 -> 8 batches/epoch over the 256-clip
     # corpus, so the fraction sweep isn't dominated by 2-batch epoch noise
-    B = int(os.environ.get("AVSYNC_PARTIAL_BENCH_B", 64)) * n_dev
+    # cap at half the corpus so a many-device host (B scales with n_dev and
+    # epoch() drops the last partial batch) still gets >=2 batches/epoch
+    # instead of zero (metrics=None crash) or one (meaningless sweep);
+    # keep B a multiple of n_dev so the global batch shards over 'data'
+    B = min(int(os.environ.get("AVSYNC_PARTIAL_BENCH_B", 64)) * n_dev,
+            N_CLIPS // 2)
+    B = max(n_dev, B // n_dev * n_dev)
 
     clip_mb = 4 * 75 * 50 * 100 / 2**20  # 1.43 MB f32
     total_mb = N_CLIPS * clip_mb

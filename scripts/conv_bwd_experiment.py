@@ -16,27 +16,19 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+import os as _os
+
+_HERE = _os.path.dirname(_os.path.abspath(__file__))
+sys.path.insert(0, _os.path.dirname(_HERE))  # repo root (avsync package)
+sys.path.insert(0, _HERE)  # scripts/ (_bench_util)
 
 
-def timeit(fn, *args, n=3, warmup=1):
-    for _ in range(warmup):
-        out = fn(*args)
-        _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    _sync(out)
-    return (time.perf_counter() - t0) / n
+from _bench_util import _sync  # noqa: E402,F401
+from _bench_util import timeit as _timeit  # noqa: E402
 
 
-def _sync(out):
-    import jax
-
-    x = jax.tree.leaves(out)[0]
-    if hasattr(x, "reshape"):
-        x = x.reshape(-1)[:1]
-    float(np.asarray(x)[0])
+def timeit(fn, *args):
+    return _timeit(fn, *args, n=3)  # this script's historical default
 
 
 def main():

@@ -17,30 +17,14 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+import os as _os
+
+_HERE = _os.path.dirname(_os.path.abspath(__file__))
+sys.path.insert(0, _os.path.dirname(_HERE))  # repo root (avsync package)
+sys.path.insert(0, _HERE)  # scripts/ (_bench_util)
 
 
-def timeit(fn, *args, n=5, warmup=1):
-    for _ in range(warmup):
-        out = fn(*args)
-        _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    _sync(out)
-    return (time.perf_counter() - t0) / n
-
-
-def _sync(out):
-    """Fetch ONE element of the first output leaf: forces device completion
-    (block_until_ready lies through the axon tunnel) without transferring the
-    whole array (a (B,75,50,100,32) activation is gigabytes)."""
-    import jax
-
-    x = jax.tree.leaves(out)[0]
-    if hasattr(x, "reshape"):
-        x = x.reshape(-1)[:1]
-    float(np.asarray(x)[0])
+from _bench_util import _sync, timeit  # noqa: E402,F401
 
 
 def main():

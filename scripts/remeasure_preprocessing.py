@@ -32,6 +32,10 @@ def probe_tunnel() -> dict:
     assert first == 512.0
     handshake = time.time() - t0
     x = np.ones((16, 1024, 1024), np.float32)
+    # pre-compile the same-shape reduction OUTSIDE the timed window — the
+    # first sum at this shape pays (remote) XLA compilation, which would
+    # be billed to the link and understate h2d_mb_s severalfold
+    float(jnp.sum(jax.device_put(x)))
     t0 = time.time()
     float(jnp.sum(jax.device_put(x)))
     h2d = 64.0 / (time.time() - t0)

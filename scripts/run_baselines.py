@@ -66,6 +66,20 @@ def warm_until_steady(run_once, iters: int = 5, tol: float = 0.3):
     return out
 
 
+def parse_training_log(log_text: str):
+    """(test_auc, best_val_auc) parsed from a detector training.log — the
+    ONE copy of the "Test AUC:"/"Best val AUC:" literal parsing (lines
+    carry a [timestamp] prefix), previously duplicated across four
+    drivers. Returns None for a metric whose line is absent."""
+    test_auc = best_val = None
+    for line in log_text.splitlines():
+        if "Test AUC:" in line:
+            test_auc = float(line.split("Test AUC:")[-1])
+        if "Best val AUC:" in line:
+            best_val = float(line.split("Best val AUC:")[-1])
+    return test_auc, best_val
+
+
 def ensure_corpora():
     from avsync.data import synthetic
 
@@ -434,10 +448,7 @@ def scenario_5_detector_training(results, pth):
     wall = time.time() - t0
     log_run = sorted(os.listdir(log_dir))[-1]
     txt = open(os.path.join(log_dir, log_run, "training.log")).read()
-    test_auc = None
-    for line in txt.splitlines():
-        if "Test AUC:" in line:  # lines carry a [timestamp] prefix
-            test_auc = float(line.split("Test AUC:")[-1])
+    test_auc, _ = parse_training_log(txt)
     results["detector_training"] = {
         "scenario": "misalignment_detector_training",
         "avsync": {
@@ -527,10 +538,13 @@ def main():
 
     baseline_path = os.path.join(REPO, "BASELINE.json")
     doc = json.load(open(baseline_path))
-    doc["published"] = results
+    # MERGE per-scenario — wholesale replacement would delete the entries
+    # published by the sibling drivers (run_hard_sweep, run_wer_headhead,
+    # run_production_detector) and their provenance
+    doc.setdefault("published", {}).update(results)
     with open(baseline_path, "w") as f:
         json.dump(doc, f, indent=2)
-    print(f"published -> {baseline_path}")
+    print(f"published (merged {len(results)} scenarios) -> {baseline_path}")
 
 
 if __name__ == "__main__":

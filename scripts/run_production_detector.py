@@ -124,14 +124,11 @@ def run_reference() -> dict:
     if proc.returncode != 0:
         raise RuntimeError(f"reference prod run failed "
                            f"rc={proc.returncode}:\n{proc.stderr[-3000:]}")
+    from run_baselines import parse_training_log
+
     run = sorted(os.listdir(log_dir))[-1]
     log = open(os.path.join(log_dir, run, "training.log")).read()
-    test_auc = best_val = None
-    for line in log.splitlines():
-        if "Test AUC:" in line:
-            test_auc = float(line.split("Test AUC:")[-1])
-        if "Best val AUC:" in line:
-            best_val = float(line.split("Best val AUC:")[-1])
+    test_auc, best_val = parse_training_log(log)
     assert test_auc is not None, "reference log lacks final Test AUC"
     out = {
         "hardware": "host CPU (torch), 1 core",
@@ -169,6 +166,10 @@ def run_avsync() -> dict:
                "--detector_checkpoint", det, "--log_dir", log_dir,
                "--bank_cache", bank_cache]
         for k, v in PROD_FLAGS.items():
+            if k == "save_every":
+                v = 1000  # same checkpoint-I/O policy as the reference
+                # runner (which overrides save_every to skip per-5-epoch
+                # .pth spam) — the timed walls must share one protocol
             cmd += [f"--{k}", str(v)]
         env = {**os.environ, "AVSYNC_COMPILE_CACHE": cc_dir}
         t0 = time.time()
@@ -178,14 +179,11 @@ def run_avsync() -> dict:
         if proc.returncode != 0:
             raise RuntimeError(f"avsync prod run ({tag}) failed:\n"
                                f"{proc.stderr[-3000:]}")
+        from run_baselines import parse_training_log
+
         run = sorted(os.listdir(log_dir))[-1]
         log = open(os.path.join(log_dir, run, "training.log")).read()
-        test_auc = best_val = None
-        for line in log.splitlines():
-            if "Test AUC:" in line:
-                test_auc = float(line.split("Test AUC:")[-1])
-            if "Best val AUC:" in line:
-                best_val = float(line.split("Best val AUC:")[-1])
+        test_auc, best_val = parse_training_log(log)
         assert test_auc is not None, f"avsync log lacks Test AUC ({tag})"
         return {"wall_seconds": round(wall, 1), "test_auroc": test_auc,
                 "best_val_auroc": best_val}
@@ -251,6 +249,13 @@ def run_sweep_avsync() -> dict:
         out["note"] = ("wall_seconds = warm (persistent compile cache + "
                        "feature-bank cache hot); wall_seconds_cold = "
                        "first-ever invocation")
+    else:
+        # first-ever run: the wall IS cold — label it so a single-run
+        # publish can't pass a compile-paying wall off as warm
+        out["wall_seconds_cold"] = out["wall_seconds"]
+        out["note"] = ("single run so far: wall_seconds is a COLD wall "
+                       "(XLA compile + bank build); re-run sweep-avsync "
+                       "to record the warm wall")
     with open(SWEEP_AV_OUT, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out), flush=True)

@@ -86,12 +86,9 @@ def phase_a_training(seed: int = 42) -> dict:
 
     run = sorted(os.listdir(log_dir))[-1]
     log = open(os.path.join(log_dir, run, "training.log")).read()
-    test_auc = best_val = None
-    for line in log.splitlines():
-        if "Test AUC:" in line:
-            test_auc = float(line.split("Test AUC:")[-1])
-        if "Best val AUC:" in line:
-            best_val = float(line.split("Best val AUC:")[-1])
+    from run_baselines import parse_training_log
+
+    test_auc, best_val = parse_training_log(log)
     # a missing summary line means the run did not complete (or the log
     # format drifted) — refuse to publish a null headline number
     assert test_auc is not None and best_val is not None, (
@@ -232,6 +229,16 @@ def main() -> int:
 
     results = {}
     det_pth = os.path.join(REF_DIR, "misalignment_detector.pth")
+    if args.skip_training and not os.path.exists(det_pth):
+        # NEVER silently retrain: the caller (e.g. run_production_detector
+        # sweep-reference) asked to sweep an EXISTING detector; falling
+        # through to phase_a_training would sweep a detector trained with
+        # the wrong (baseline, non-production) flags and publish it as
+        # production — fail loudly instead (e.g. after a /tmp wipe).
+        raise SystemExit(
+            f"--skip-training but no detector at {det_pth}; "
+            "run the training phase first"
+        )
     if args.skip_training and os.path.exists(det_pth):
         # reuse the prior training record when its JSON survived; the .pth
         # alone is enough for the sweep (the JSON may itself be sweep-only

@@ -162,7 +162,7 @@ def reference_side(seeds) -> dict:
     if seeds and seeds[-1] != 42:
         # the per-seed runs overwrite REF_DIR/misalignment_detector.pth;
         # retrain seed 42 last so the published-seed checkpoint survives
-        subprocess.run(
+        proc = subprocess.run(
             [sys.executable,
              os.path.join(REPO, "scripts/run_reference_detector.py"),
              "--min-shift", "1", "--max-shift", "1", "--train-seed", "42",
@@ -170,6 +170,16 @@ def reference_side(seeds) -> dict:
             capture_output=True, text=True, timeout=3600,
             env=reference_env(),
         )
+        if proc.returncode != 0:
+            # a silent failure here would leave the last loop seed's
+            # detector on disk, and every later --skip-training consumer
+            # would sweep a wrong-seed checkpoint with no error
+            raise RuntimeError(
+                "seed-42 restore retrain failed — "
+                f"{REF_DIR}/misalignment_detector.pth is now trained with "
+                f"seed {seeds[-1]}, NOT the published seed 42:\n"
+                f"{proc.stderr[-2000:]}"
+            )
     return results
 
 

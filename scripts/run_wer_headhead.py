@@ -47,6 +47,12 @@ def read_ref():
             recs.append(json.loads(line))
         except ValueError:
             continue  # truncated tail line from a mid-write crash
+    if not recs or "config" not in recs[0]:
+        raise SystemExit(
+            f"{REF_PROGRESS} has no config header yet — the reference job "
+            "has not started writing (or crashed before its first flush); "
+            "wait for / restart scripts/run_reference_wer.py first"
+        )
     cfg = recs[0]["config"]
     return cfg, [r for r in recs[1:] if "epoch" in r]
 
