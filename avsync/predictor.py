@@ -133,31 +133,75 @@ def prepare_clip(
 
 
 class LipReader:
-    """Greedy-CTC lipreading from a trained LipNet checkpoint."""
+    """Greedy-CTC lipreading from a trained LipNet checkpoint.
 
-    def __init__(self, checkpoint: str, config: Optional[AvsyncConfig] = None):
+    `quantize='int8'` runs the conv stack (99% of the forward FLOPs,
+    PERF.md) in int8 on the MXU (s8xs8->s32 is 2x the bf16 rate on v5e)
+    with static activation scales — see avsync/ops/quant.py. Calibration
+    uses `calibration_frames` (a few representative (T, H, W) clips) when
+    given, otherwise the first clip predicted (lazy; fine in practice since
+    inputs are normalized frames, but representative clips are better).
+    Only the 'pytorch' family quantizes (the TF stack's LSTM path is not on
+    the quantized surface); greedy decode is unchanged.
+    """
+
+    def __init__(
+        self,
+        checkpoint: str,
+        config: Optional[AvsyncConfig] = None,
+        quantize: Optional[str] = None,
+        calibration_frames: Optional[Sequence[np.ndarray]] = None,
+    ):
         self.cfg = config or AvsyncConfig()
         self.model = make_lipnet(self.cfg.model)
         self.params = _load_params(checkpoint, self.cfg)
         self._loc_params = load_localizer_params(self.cfg)
         self._mouth = load_mouth_detector(self.cfg)
         self._prep_cache: dict = {}  # jitted preprocess per frame geometry
+        if quantize not in (None, "int8"):
+            raise ValueError(f"unsupported quantize mode: {quantize!r}")
+        if quantize == "int8" and self.cfg.model.family != "pytorch":
+            raise ValueError("int8 quantization supports the pytorch family")
+        self._quantize = quantize
+        self._qparams = None
         self._fwd = jax.jit(
             lambda p, v: self.model.apply({"params": p}, v)
         )
+        if quantize == "int8":
+            from avsync.ops.quant import lipnet_int8_apply
+
+            mcfg = self.cfg.model
+            self._qfwd = jax.jit(
+                lambda qp, v: lipnet_int8_apply(qp, v, mcfg)
+            )
+            if calibration_frames:
+                self._build_qparams(
+                    [self._prepare(f) for f in calibration_frames]
+                )
         self._decode = (
             textlib.tf_decode_batch
             if self.cfg.model.family == "tf"
             else textlib.decode_batch
         )
 
+    def _prepare(self, frames: np.ndarray) -> jax.Array:
+        return prepare_clip(frames, self.cfg, self._loc_params, self._mouth,
+                            _cache=self._prep_cache)
+
+    def _build_qparams(self, batches) -> None:
+        from avsync.ops.quant import quantize_lipnet
+
+        self._qparams = quantize_lipnet(self.params, batches)
+
+    def _logprobs(self, clips: jax.Array) -> jax.Array:
+        if self._quantize is None:
+            return self._fwd(self.params, clips)
+        if self._qparams is None:  # lazy calibration on the first input
+            self._build_qparams([clips])
+        return self._qfwd(self._qparams, clips)
+
     def predict_frames(self, frames: np.ndarray) -> str:
-        log_probs = self._fwd(
-            self.params,
-            prepare_clip(frames, self.cfg, self._loc_params, self._mouth,
-                         _cache=self._prep_cache),
-        )
-        return self._decode(log_probs)[0]
+        return self._decode(self._logprobs(self._prepare(frames)))[0]
 
     def predict(self, video_path: str) -> str:
         from avsync.data.video import decode_video_gray
@@ -182,12 +226,8 @@ class LipReader:
             )
             if frames.size == 0:
                 raise ValueError(f"no frames decoded from {p}")
-            clips.append(
-                prepare_clip(frames, self.cfg, self._loc_params, self._mouth,
-                             _cache=self._prep_cache)
-            )
-        log_probs = self._fwd(self.params, jnp.concatenate(clips, axis=0))
-        return self._decode(log_probs)
+            clips.append(self._prepare(frames))
+        return self._decode(self._logprobs(jnp.concatenate(clips, axis=0)))
 
 
 class MisalignmentScorer:
