@@ -386,9 +386,13 @@ def cmd_train(args) -> int:
 
 
 def _evaluate(trainer, state, batcher, source, out_json: str, num_print: int = 5,
-              beam_width: int = 0):
+              beam_width: int = 0, quantize: Optional[str] = None):
     """Greedy-decode the split, print samples, dump CER/WER/accuracy JSON
-    (`utils.py:38-86` + `train.py:916-942`)."""
+    (`utils.py:38-86` + `train.py:916-942`).
+
+    `quantize='int8'` runs the conv stack in int8 on the MXU
+    (avsync/ops/quant.py), calibrated on the first eval batch — the same
+    preprocessed distribution the whole split sees."""
     from avsync import text as textlib
     from avsync.eval import evaluate_transcripts
 
@@ -399,13 +403,25 @@ def _evaluate(trainer, state, batcher, source, out_json: str, num_print: int = 5
         if trainer.config.model.family == "tf"
         else textlib.decode_batch
     )
+    qfwd = qparams = None
+    if quantize == "int8":
+        import jax
+
+        from avsync.ops.quant import lipnet_int8_apply, quantize_lipnet
+
+        mcfg = trainer.config.model
+        qfwd = jax.jit(lambda qp, v: lipnet_int8_apply(qp, v, mcfg))
     preds: List[str] = []
     targets: List[str] = []
     idx = 0
     for batch in batcher.epoch(shuffle=False, drop_last=False):
-        _, log_probs = trainer.compiled["eval"](
-            state.params, trainer._device_batch(batch)
-        )
+        dbatch = trainer._device_batch(batch)
+        if qfwd is not None:
+            if qparams is None:
+                qparams = quantize_lipnet(state.params, [dbatch["video"]])
+            log_probs = qfwd(qparams, dbatch["video"])
+        else:
+            _, log_probs = trainer.compiled["eval"](state.params, dbatch)
         decoded = decode(
             log_probs[: batch["valid"]], beam_width=beam_width
         )
@@ -435,6 +451,10 @@ def cmd_test(args) -> int:
     from avsync.train.lipnet_trainer import TrainState
 
     cfg = _config_from_args(args)
+    quantize = getattr(args, "quantize", None)
+    if quantize and cfg.model.family != "pytorch":
+        print("ERROR: --quantize int8 supports the pytorch family only")
+        return 1
     speakers = args.speakers or check_data_structure(cfg.data.data_path)
     _, _, test_sp = split_speakers(speakers, cfg.data.split)
     src = GridDataSource(cfg.data.data_path, test_sp)
@@ -445,7 +465,7 @@ def cmd_test(args) -> int:
     batcher = LipNetBatcher(src, cfg, mesh=mesh)
     _evaluate(
         trainer, state, batcher, src, args.output or "test_results.json",
-        beam_width=args.beam,
+        beam_width=args.beam, quantize=quantize,
     )
     return 0
 
@@ -482,7 +502,18 @@ def cmd_infer(args) -> int:
     clips = prepare_clip(
         frames, cfg, load_localizer_params(cfg), load_mouth_detector(cfg)
     )
-    log_probs = jax.jit(lambda p, v: model.apply({"params": p}, v))(params, clips)
+    if getattr(args, "quantize", None) == "int8":
+        if cfg.model.family != "pytorch":
+            print("ERROR: --quantize int8 supports the pytorch family only")
+            return 1
+        from avsync.ops.quant import lipnet_int8_apply, quantize_lipnet
+
+        qparams = quantize_lipnet(params, [clips])
+        log_probs = jax.jit(
+            lambda qp, v: lipnet_int8_apply(qp, v, cfg.model)
+        )(qparams, clips)
+    else:
+        log_probs = jax.jit(lambda p, v: model.apply({"params": p}, v))(params, clips)
     pred = decode(log_probs, beam_width=args.beam)[0]
     print(f"Predicted: {pred}")
 
@@ -1026,6 +1057,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help=".pth file or Orbax checkpoint dir")
     te.add_argument("--batch_size", type=int, default=None)
     te.add_argument("--output", type=str, default=None)
+    te.add_argument("--quantize", choices=["int8"], default=None,
+                    help="serve the conv stack in int8 on the MXU "
+                         "(avsync/ops/quant.py; calibrated on the first "
+                         "eval batch; pytorch family only)")
     te.add_argument("--beam", type=int, default=0,
                     help="CTC beam width (0 = greedy, the reference decode)")
     te.set_defaults(fn=cmd_test)
@@ -1038,6 +1073,8 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--config", type=str, default=None)
     i.add_argument("--model_family", choices=["pytorch", "tf"], default=None)
     i.add_argument("--beam", type=int, default=0)
+    i.add_argument("--quantize", choices=["int8"], default=None,
+                   help="int8 conv stack, calibrated on this clip")
     perf(i)
     i.set_defaults(fn=cmd_infer)
 

@@ -240,6 +240,43 @@ def detector_benchmark(n_videos: int = 512) -> dict:
     }
 
 
+def serving_benchmark(trainer, state, batch) -> dict:
+    """Forward-only serving rates, f32/bf16 model vs the int8 conv stack
+    (avsync/ops/quant.py) on the same preprocessed batch — regression-tracks
+    the quantized path next to the training numbers."""
+    import jax
+
+    from avsync.ops.quant import lipnet_int8_apply, quantize_lipnet
+
+    video = trainer._device_batch(batch)["video"]
+    B = video.shape[0]
+    mcfg = trainer.config.model
+    fwd = jax.jit(
+        lambda p, v: trainer.model.apply({"params": p}, v, train=False)
+    )
+    qparams = quantize_lipnet(state.params, [video])
+    qfwd = jax.jit(lambda qp, v: lipnet_int8_apply(qp, v, mcfg))
+
+    def rate(fn, p, iters=10):
+        _sync_scalar(fn(p, video))  # warm/compile
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn(p, video)
+        _sync_scalar(out)
+        return iters * B / (time.perf_counter() - t0)
+
+    f32_rate = rate(fwd, state.params)
+    i8_rate = rate(qfwd, qparams)
+    return {
+        "serve_clips_per_sec_per_chip": round(f32_rate, 2),
+        "serve_int8_clips_per_sec_per_chip": round(i8_rate, 2),
+        "serve_note": "forward-only, same preprocessed batch; int8 = "
+                      "static-scale PTQ conv stack, int32 MXU accumulation "
+                      "(decode-identical; bounds in tests/test_quant.py)",
+    }
+
+
 def main() -> None:
     import jax
 
@@ -319,6 +356,10 @@ def main() -> None:
         result.update(detector_benchmark())
     except Exception as e:
         result["detector_error"] = str(e)[:200]
+    try:
+        result.update(serving_benchmark(trainer, state, batch))
+    except Exception as e:
+        result["serve_error"] = str(e)[:200]
     print(json.dumps(result))
 
 
