@@ -407,10 +407,18 @@ def _evaluate(trainer, state, batcher, source, out_json: str, num_print: int = 5
     if quantize == "int8":
         import jax
 
-        from avsync.ops.quant import lipnet_int8_apply, quantize_lipnet
+        from avsync.ops.quant import (
+            lipnet_int8_apply,
+            quantize_lipnet,
+            tflipnet_int8_apply,
+        )
 
-        mcfg = trainer.config.model
-        qfwd = jax.jit(lambda qp, v: lipnet_int8_apply(qp, v, mcfg))
+        if trainer.config.model.family == "tf":
+            tcfg = trainer.model.cfg  # the resolved TFModelConfig
+            qfwd = jax.jit(lambda qp, v: tflipnet_int8_apply(qp, v, tcfg))
+        else:
+            mcfg = trainer.config.model
+            qfwd = jax.jit(lambda qp, v: lipnet_int8_apply(qp, v, mcfg))
     preds: List[str] = []
     targets: List[str] = []
     idx = 0
@@ -452,9 +460,6 @@ def cmd_test(args) -> int:
 
     cfg = _config_from_args(args)
     quantize = getattr(args, "quantize", None)
-    if quantize and cfg.model.family != "pytorch":
-        print("ERROR: --quantize int8 supports the pytorch family only")
-        return 1
     speakers = args.speakers or check_data_structure(cfg.data.data_path)
     _, _, test_sp = split_speakers(speakers, cfg.data.split)
     src = GridDataSource(cfg.data.data_path, test_sp)
@@ -503,15 +508,21 @@ def cmd_infer(args) -> int:
         frames, cfg, load_localizer_params(cfg), load_mouth_detector(cfg)
     )
     if getattr(args, "quantize", None) == "int8":
-        if cfg.model.family != "pytorch":
-            print("ERROR: --quantize int8 supports the pytorch family only")
-            return 1
-        from avsync.ops.quant import lipnet_int8_apply, quantize_lipnet
+        from avsync.ops.quant import (
+            lipnet_int8_apply,
+            quantize_lipnet,
+            tflipnet_int8_apply,
+        )
 
         qparams = quantize_lipnet(params, [clips])
-        log_probs = jax.jit(
-            lambda qp, v: lipnet_int8_apply(qp, v, cfg.model)
-        )(qparams, clips)
+        if cfg.model.family == "tf":
+            log_probs = jax.jit(
+                lambda qp, v: tflipnet_int8_apply(qp, v, model.cfg)
+            )(qparams, clips)
+        else:
+            log_probs = jax.jit(
+                lambda qp, v: lipnet_int8_apply(qp, v, cfg.model)
+            )(qparams, clips)
     else:
         log_probs = jax.jit(lambda p, v: model.apply({"params": p}, v))(params, clips)
     pred = decode(log_probs, beam_width=args.beam)[0]
@@ -1060,7 +1071,7 @@ def build_parser() -> argparse.ArgumentParser:
     te.add_argument("--quantize", choices=["int8"], default=None,
                     help="serve the conv stack in int8 on the MXU "
                          "(avsync/ops/quant.py; calibrated on the first "
-                         "eval batch; pytorch family only)")
+                         "eval batch; both model families)")
     te.add_argument("--beam", type=int, default=0,
                     help="CTC beam width (0 = greedy, the reference decode)")
     te.set_defaults(fn=cmd_test)

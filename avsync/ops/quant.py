@@ -205,6 +205,58 @@ def quantize_lipnet(
     return QuantLipNetParams(convs=tuple(qconvs), float_params=params)
 
 
+def tflipnet_int8_apply(
+    qp: QuantLipNetParams,
+    x: jax.Array,
+    cfg,
+    compute_dtype: Optional[str] = None,
+    packed: bool = True,
+) -> jax.Array:
+    """Quantized TF-family forward: (B, T, H, W, 1) -> (B, T, vocab+1)
+    blank-last log-probs.
+
+    Mirrors TFLipNet.__call__ eval mode (models/lipnet_tf.py, the Keras
+    stack of `train.py:495-547`) with the conv stack in int8 — the TF
+    blocks are the same Conv3D+ReLU+Pool(1,2,2) shape as the pytorch
+    family, so `quantize_lipnet` / `calibrate_conv_input_scales` apply
+    unchanged (both read the conv{i} subtrees). LSTMs, the two Dense
+    layers and the head run from `qp.float_params` in `compute_dtype`;
+    dropout is eval-identity. `cfg` is a TFModelConfig.
+    """
+    from avsync.ops.lstm import LSTMParams, lstm_scan
+
+    dt = jnp.dtype(compute_dtype or cfg.compute_dtype or "float32")
+    act_dt = dt if dt != jnp.float32 else jnp.float32
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(jnp.float32)
+    for qc in qp.convs:
+        x = quant_conv_block(qc, x, out_dtype=act_dt, packed=packed)
+    B, T = x.shape[0], x.shape[1]
+    x = x.reshape(B, T, -1)
+    p = qp.float_params
+    cdt = None if dt == jnp.float32 else dt
+    for i in range(cfg.num_lstm_layers):
+        sub = p[f"lstm{i + 1}"]
+
+        def lp(d):
+            return LSTMParams(
+                w_ih=sub[f"w_ih_{d}"], w_hh=sub[f"w_hh_{d}"],
+                b_ih=sub[f"b_ih_{d}"], b_hh=sub[f"b_hh_{d}"],
+            )
+
+        hf = lstm_scan(lp("fwd"), x, reverse=False, compute_dtype=cdt)
+        hb = lstm_scan(lp("bwd"), x, reverse=True, compute_dtype=cdt)
+        x = jnp.concatenate([hf, hb], axis=-1)
+    for i in range(2):
+        d = p[f"dense{i + 1}"]
+        x = jax.nn.relu(
+            x.astype(dt) @ d["kernel"].astype(dt) + d["bias"].astype(dt)
+        )
+    h = p["head"]
+    logits = x.astype(dt) @ h["kernel"].astype(dt) + h["bias"].astype(dt)
+    return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+
 def _gru_params(sub: dict, direction: str) -> GRUParams:
     return GRUParams(
         w_ih=sub[f"w_ih_{direction}"],

@@ -141,8 +141,8 @@ class LipReader:
     uses `calibration_frames` (a few representative (T, H, W) clips) when
     given, otherwise the first clip predicted (lazy; fine in practice since
     inputs are normalized frames, but representative clips are better).
-    Only the 'pytorch' family quantizes (the TF stack's LSTM path is not on
-    the quantized surface); greedy decode is unchanged.
+    Both families quantize — their conv blocks share the Conv3D+ReLU+Pool
+    shape; GRU/LSTM/dense layers stay float. Greedy decode is unchanged.
     """
 
     def __init__(
@@ -160,20 +160,27 @@ class LipReader:
         self._prep_cache: dict = {}  # jitted preprocess per frame geometry
         if quantize not in (None, "int8"):
             raise ValueError(f"unsupported quantize mode: {quantize!r}")
-        if quantize == "int8" and self.cfg.model.family != "pytorch":
-            raise ValueError("int8 quantization supports the pytorch family")
         self._quantize = quantize
         self._qparams = None
         self._fwd = jax.jit(
             lambda p, v: self.model.apply({"params": p}, v)
         )
         if quantize == "int8":
-            from avsync.ops.quant import lipnet_int8_apply
-
-            mcfg = self.cfg.model
-            self._qfwd = jax.jit(
-                lambda qp, v: lipnet_int8_apply(qp, v, mcfg)
+            from avsync.ops.quant import (
+                lipnet_int8_apply,
+                tflipnet_int8_apply,
             )
+
+            if self.cfg.model.family == "tf":
+                tcfg = self.model.cfg  # the resolved TFModelConfig
+                self._qfwd = jax.jit(
+                    lambda qp, v: tflipnet_int8_apply(qp, v, tcfg)
+                )
+            else:
+                mcfg = self.cfg.model
+                self._qfwd = jax.jit(
+                    lambda qp, v: lipnet_int8_apply(qp, v, mcfg)
+                )
             if calibration_frames:
                 self._build_qparams(
                     [self._prepare(f) for f in calibration_frames]

@@ -348,18 +348,20 @@ def main() -> None:
         "mfu": round(mfu, 3),
         "flops_per_clip_train": lipnet_train_flops(cfg.model),
     }
+    # serving first: e2e_benchmark's train steps DONATE state, deleting
+    # the params this needs
+    try:
+        result.update(serving_benchmark(trainer, state, batch))
+    except Exception as e:  # the primary metric must still print
+        result["serve_error"] = str(e)[:200]
     try:
         result.update(e2e_benchmark(trainer, state, cfg))
-    except Exception as e:  # the primary metric must still print
+    except Exception as e:
         result["e2e_error"] = str(e)[:200]
     try:
         result.update(detector_benchmark())
     except Exception as e:
         result["detector_error"] = str(e)[:200]
-    try:
-        result.update(serving_benchmark(trainer, state, batch))
-    except Exception as e:
-        result["serve_error"] = str(e)[:200]
     print(json.dumps(result))
 
 

@@ -102,17 +102,11 @@ def test_cmd_test_quantize_int8(tmp_path, capsys):
     assert 0.0 <= results["wer"] <= 1.0
 
 
-def test_cmd_test_quantize_rejects_tf_family(tmp_path):
+def test_cmd_test_quantize_rejects_unknown_mode(tmp_path, capsys):
     from avsync.cli import main
 
-    corpus = str(tmp_path / "data")
-    synthetic.write_corpus(
-        corpus, n_speakers=3, clips_per_speaker=1,
-        n_frames=8, height=16, width=32, seed=5, with_audio=False,
-    )
-    rc = main([
-        "test", "--data_path", corpus, "--model_family", "tf",
-        "--checkpoint", str(tmp_path / "missing.pth"),
-        "--quantize", "int8",
-    ])
-    assert rc == 1
+    with pytest.raises(SystemExit):
+        main([
+            "test", "--data_path", str(tmp_path),
+            "--checkpoint", "x.pth", "--quantize", "int4",
+        ])

@@ -150,3 +150,43 @@ class TestLipNetInt8:
         out = fn(qp, x)
         ref = lipnet_int8_apply(qp, x, CFG)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+class TestTFLipNetInt8:
+    """TF-family (Keras-stack) int8 serving: same conv-block shape, so the
+    quantizer applies unchanged; the LSTM/dense tail stays float."""
+
+    @pytest.fixture(scope="class")
+    def tf_tiny(self):
+        from avsync.models.lipnet_tf import TFLipNet, TFModelConfig
+
+        cfg = TFModelConfig(hidden_dim=8, conv_channels=(3, 4, 6),
+                            dense_dim=16)
+        model = TFLipNet(cfg)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.random((2, 6, 8, 16, 1), np.float32))
+        params = model.init({"params": jax.random.PRNGKey(2)}, x)["params"]
+        return model, cfg, params, x
+
+    def test_end_to_end_close_to_f32(self, tf_tiny):
+        from avsync.ops.quant import tflipnet_int8_apply
+
+        model, cfg, params, x = tf_tiny
+        ref = np.asarray(model.apply({"params": params}, x))
+        qp = quantize_lipnet(params, [x])
+        got = np.asarray(tflipnet_int8_apply(qp, x, cfg))
+        assert got.shape == ref.shape
+        assert np.abs(got - ref).mean() < 0.05
+        assert (got.argmax(-1) == ref.argmax(-1)).mean() >= 0.95
+
+    def test_jit_compatible(self, tf_tiny):
+        from avsync.ops.quant import tflipnet_int8_apply
+
+        _, cfg, params, x = tf_tiny
+        qp = quantize_lipnet(params, [x])
+        fn = jax.jit(lambda q, v: tflipnet_int8_apply(q, v, cfg))
+        np.testing.assert_allclose(
+            np.asarray(fn(qp, x)),
+            np.asarray(tflipnet_int8_apply(qp, x, cfg)),
+            atol=1e-6,
+        )
