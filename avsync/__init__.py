@@ -30,6 +30,10 @@ __all__ = [
     "TrainConfig",
     "LipReader",
     "MisalignmentScorer",
+    "AvsyncServer",
+    "DynamicBatcher",
+    "TranscribeService",
+    "SyncScoreService",
     "__version__",
 ]
 
@@ -40,4 +44,9 @@ def __getattr__(name):
         from avsync import predictor
 
         return getattr(predictor, name)
+    if name in ("AvsyncServer", "DynamicBatcher", "TranscribeService",
+                "SyncScoreService"):
+        from avsync import serving
+
+        return getattr(serving, name)
     raise AttributeError(f"module 'avsync' has no attribute {name!r}")

@@ -10,6 +10,11 @@
                                         (`misalignment_detection_train.py`)
   python -m avsync.cli misalign-demo  — annotated demo export
                                         (`misalignment_detection_demo.py`)
+  python -m avsync.cli quantize       — export int8 calibration scales
+                                        (TPU-native extra; avsync/ops/quant.py)
+  python -m avsync.cli serve          — HTTP serving daemon with dynamic
+                                        batching (TPU-native extra;
+                                        avsync/serving.py)
 
 Flag names follow the reference argparse surfaces
 (`misalignment_detection_train.py:322-342`, `train.py:1080-1109`).
@@ -535,6 +540,98 @@ def cmd_infer(args) -> int:
             print(f"Ground truth: {gt}")
             print(f"CER: {calculate_cer(pred, gt):.4f}  WER: {calculate_wer(pred, gt):.4f}")
             break
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# quantize / serve
+# ---------------------------------------------------------------------------
+
+def cmd_quantize(args) -> int:
+    """Export int8 calibration scales for deployment.
+
+    Runs the f32 conv stack over a few preprocessed batches from
+    --data_path (the SAME preprocessing serving runs) and writes the
+    per-layer input scales to an .npz. `avsync serve/test --qscales FILE`
+    (or LipReader(calibration_scales=FILE)) then quantizes at load time
+    with no calibration data on the serving host."""
+    from avsync.data import GridDataSource, LipNetBatcher
+    from avsync.models import make_lipnet
+    from avsync.ops.quant import calibrate_conv_input_scales
+
+    cfg = _config_from_args(args)
+    model = make_lipnet(cfg.model)
+    params = _load_lipnet_params(args.checkpoint, model, cfg)
+    src = GridDataSource(cfg.data.data_path, args.speakers or None)
+    if len(src) == 0:
+        print(f"ERROR: no clips under {cfg.data.data_path}")
+        return 1
+    batcher = LipNetBatcher(src, cfg)
+    batches = []
+    seen = 0
+    for batch in batcher.epoch(shuffle=False, drop_last=False):
+        batches.append(np.asarray(batch["video"][: batch["valid"]]))
+        seen += int(batch["valid"])
+        if seen >= args.n_calib:
+            break
+    scales = calibrate_conv_input_scales(params, batches)
+    np.savez(
+        args.out,
+        input_scales=scales,
+        family=cfg.model.family,
+        n_calibration_clips=seen,
+        checkpoint=os.path.abspath(args.checkpoint),
+    )
+    print(f"calibrated {len(scales)} conv layers on {seen} clips "
+          f"-> {args.out}")
+    print(f"input_scales: {scales.tolist()}")
+    return 0
+
+
+def cmd_serve(args) -> int:
+    """Serving daemon: LipReader (+ optional MisalignmentScorer) behind a
+    dynamic batcher and a stdlib HTTP surface (avsync/serving.py)."""
+    from avsync.predictor import LipReader, MisalignmentScorer
+    from avsync.serving import (
+        AvsyncServer,
+        SyncScoreService,
+        TranscribeService,
+    )
+
+    cfg = _config_from_args(args)
+    reader = LipReader(
+        args.checkpoint, cfg,
+        quantize=getattr(args, "quantize", None),
+        calibration_scales=getattr(args, "qscales", None),
+    )
+    transcriber = TranscribeService(
+        reader, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
+    )
+    scorer = None
+    if args.detector_checkpoint:
+        scorer = SyncScoreService(
+            MisalignmentScorer(args.detector_checkpoint, args.checkpoint, cfg)
+        )
+    server = AvsyncServer(
+        transcriber, scorer, host=args.host, port=args.port
+    )
+    host, port = server.address[0], server.address[1]
+    print(f"avsync serving on http://{host}:{port} "
+          f"(max_batch={args.max_batch}, max_wait_ms={args.max_wait_ms}, "
+          f"quantize={getattr(args, 'quantize', None)})")
+    print("endpoints: GET /healthz /v1/stats; "
+          "POST /v1/transcribe /v1/sync_score")
+    import signal
+
+    def _term(signum, frame):  # SIGTERM takes the same graceful path as ^C
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        print("\nshutting down")
+        server.shutdown()
     return 0
 
 
@@ -1088,6 +1185,41 @@ def build_parser() -> argparse.ArgumentParser:
                    help="int8 conv stack, calibrated on this clip")
     perf(i)
     i.set_defaults(fn=cmd_infer)
+
+    q = sub.add_parser("quantize",
+                       help="export int8 calibration scales for serving")
+    common(q)
+    q.add_argument("--checkpoint", type=str, required=True,
+                   help=".pth file or Orbax checkpoint dir")
+    q.add_argument("--out", type=str, default="qscales.npz",
+                   help="output .npz (input_scales + provenance)")
+    q.add_argument("--n_calib", type=int, default=16,
+                   help="clips to calibrate on (absmax is monotone in "
+                        "clips; a few representative ones suffice)")
+    q.add_argument("--batch_size", type=int, default=None)
+    q.set_defaults(fn=cmd_quantize)
+
+    sv = sub.add_parser("serve",
+                        help="HTTP serving daemon with dynamic batching")
+    common(sv)
+    sv.add_argument("--checkpoint", type=str, required=True,
+                    help="LipNet .pth file or Orbax checkpoint dir")
+    sv.add_argument("--detector_checkpoint", type=str, default=None,
+                    help="also serve /v1/sync_score from this detector")
+    sv.add_argument("--host", type=str, default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8777)
+    sv.add_argument("--max_batch", type=int, default=8,
+                    help="dynamic batching: max rows per device dispatch")
+    sv.add_argument("--max_wait_ms", type=float, default=10.0,
+                    help="dynamic batching: max extra latency a lone "
+                         "request pays waiting for batchmates")
+    sv.add_argument("--quantize", choices=["int8"], default=None,
+                    help="int8 conv stack (see `avsync quantize`)")
+    sv.add_argument("--qscales", type=str, default=None,
+                    help="calibration scales .npz from `avsync quantize`; "
+                         "without it, int8 calibrates lazily on the first "
+                         "request")
+    sv.set_defaults(fn=cmd_serve)
 
     m = sub.add_parser("misalign-train", help="train the misalignment detector")
     common(m)

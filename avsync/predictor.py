@@ -138,9 +138,13 @@ class LipReader:
     `quantize='int8'` runs the conv stack (99% of the forward FLOPs,
     PERF.md) in int8 on the MXU (s8xs8->s32 is 2x the bf16 rate on v5e)
     with static activation scales — see avsync/ops/quant.py. Calibration
-    uses `calibration_frames` (a few representative (T, H, W) clips) when
-    given, otherwise the first clip predicted (lazy; fine in practice since
-    inputs are normalized frames, but representative clips are better).
+    sources, in precedence order:
+      1. `calibration_scales`: per-layer input scales from a prior
+         `avsync quantize` export (an .npz path or the (n_layers,) array) —
+         deployment needs no calibration data at load time;
+      2. `calibration_frames`: a few representative (T, H, W) clips;
+      3. lazy — the first clip predicted (fine in practice since inputs are
+         normalized frames, but representative clips are better).
     Both families quantize — their conv blocks share the Conv3D+ReLU+Pool
     shape; GRU/LSTM/dense layers stay float. Greedy decode is unchanged.
     """
@@ -151,6 +155,7 @@ class LipReader:
         config: Optional[AvsyncConfig] = None,
         quantize: Optional[str] = None,
         calibration_frames: Optional[Sequence[np.ndarray]] = None,
+        calibration_scales: Optional[object] = None,
     ):
         self.cfg = config or AvsyncConfig()
         self.model = make_lipnet(self.cfg.model)
@@ -181,7 +186,23 @@ class LipReader:
                 self._qfwd = jax.jit(
                     lambda qp, v: lipnet_int8_apply(qp, v, mcfg)
                 )
-            if calibration_frames:
+            if calibration_scales is not None:
+                scales = calibration_scales
+                if isinstance(scales, str):
+                    with np.load(scales) as z:
+                        zfam = str(z["family"]) if "family" in z else None
+                        if zfam is not None and zfam != self.cfg.model.family:
+                            raise ValueError(
+                                f"calibration scales exported for family "
+                                f"{zfam!r}, model is {self.cfg.model.family!r}"
+                            )
+                        scales = z["input_scales"]
+                from avsync.ops.quant import quantize_lipnet
+
+                self._qparams = quantize_lipnet(
+                    self.params, [], input_scales=np.asarray(scales)
+                )
+            elif calibration_frames:
                 self._build_qparams(
                     [self._prepare(f) for f in calibration_frames]
                 )

@@ -1,0 +1,486 @@
+"""Production serving: dynamic batching + a stdlib HTTP daemon.
+
+The reference's inference story is one-off scripts that rebuild the model
+per invocation (`predict.py:17-105`, `train.py:998-1075`,
+`misalignment_detection_demo.py:301-363`). avsync's serving stack layers:
+
+  predictor.LipReader / MisalignmentScorer   (load once, jitted steps)
+      -> DynamicBatcher                      (coalesce concurrent requests
+                                              into MXU-sized batches)
+      -> AvsyncServer (`avsync serve`)       (HTTP surface + /v1/stats)
+
+Why dynamic batching matters on TPU: a single-clip forward leaves the MXU
+almost idle — the conv GEMMs at B=1 cannot fill the 128-lane systolic
+array, and each dispatch pays a full host->device round trip. Batching
+concurrent requests multiplies throughput at near-constant latency until
+the step becomes compute-bound (PERF.md's serving table: the same forward
+is ~10x cheaper per clip at B=8 than at B=1). Batches are padded up to
+power-of-two bucket sizes so XLA compiles O(log max_batch) programs
+instead of one per occupancy.
+
+Everything here is stdlib-only (http.server, queue, threading) — no web
+framework dependency to pin.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from collections import Counter, deque
+from concurrent.futures import Future
+from dataclasses import dataclass
+from queue import Empty, Queue
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+__all__ = [
+    "DynamicBatcher",
+    "ServingStats",
+    "TranscribeService",
+    "SyncScoreService",
+    "AvsyncServer",
+]
+
+
+# ---------------------------------------------------------------------------
+# stats
+# ---------------------------------------------------------------------------
+
+
+class ServingStats:
+    """Thread-safe request/batch counters + latency percentiles.
+
+    Latencies are kept in a bounded deque (last `window` requests) — a
+    long-lived daemon must not grow memory with request count.
+    """
+
+    def __init__(self, window: int = 4096):
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.errors = 0
+        self.batch_sizes: Counter = Counter()
+        self._latencies: deque = deque(maxlen=window)
+        self.started = time.time()
+
+    def record_batch(self, n_real: int, n_padded: int,
+                     latencies_s: Sequence[float]) -> None:
+        with self._lock:
+            self.requests += n_real
+            self.batch_sizes[n_padded] += 1
+            self._latencies.extend(latencies_s)
+
+    def record_error(self, n: int = 1) -> None:
+        with self._lock:
+            self.errors += n
+
+    def snapshot(self) -> Dict[str, Any]:
+        with self._lock:
+            lat = sorted(self._latencies)
+            out = {
+                "requests": self.requests,
+                "errors": self.errors,
+                "uptime_s": round(time.time() - self.started, 1),
+                "batches": dict(sorted(self.batch_sizes.items())),
+            }
+            if lat:
+                def pct(p):
+                    return round(lat[min(len(lat) - 1,
+                                         int(p * (len(lat) - 1)))] * 1e3, 2)
+
+                out["latency_ms"] = {
+                    "p50": pct(0.50), "p95": pct(0.95), "p99": pct(0.99),
+                    "max": round(lat[-1] * 1e3, 2),
+                }
+            return out
+
+
+# ---------------------------------------------------------------------------
+# dynamic batcher
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _Item:
+    payload: np.ndarray  # one request row, shape (1, ...)
+    future: Future
+    t_enqueue: float
+
+
+def _bucket(n: int, max_batch: int) -> int:
+    """Smallest power of two >= n, capped at max_batch (which is always a
+    legal bucket even when it is not a power of two)."""
+    b = 1
+    while b < n:
+        b *= 2
+    return min(b, max_batch)
+
+
+class DynamicBatcher:
+    """Coalesces concurrent `submit` calls into batched `infer_fn` calls.
+
+    infer_fn: (B, ...) stacked array -> sequence of >= B per-row results.
+    A single worker thread owns all inference — JAX dispatch needs no lock,
+    and lazy one-time work inside infer_fn (e.g. int8 calibration on the
+    first batch) is race-free by construction.
+
+    Batching policy: the batch opens when the first request arrives and
+    closes after `max_wait_ms` or at `max_batch` rows, whichever first — a
+    lone request pays at most max_wait_ms extra latency, a loaded server
+    fills batches immediately. Rows are padded (with zeros) up to
+    power-of-two buckets so occupancy changes don't trigger recompiles.
+    """
+
+    def __init__(
+        self,
+        infer_fn: Callable[[np.ndarray], Sequence[Any]],
+        max_batch: int = 8,
+        max_wait_ms: float = 10.0,
+        stats: Optional[ServingStats] = None,
+        pad_to_bucket: bool = True,
+    ):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self._infer_fn = infer_fn
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1e3
+        self.stats = stats or ServingStats()
+        self.pad_to_bucket = pad_to_bucket
+        self._queue: Queue = Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(
+            target=self._run, name="avsync-batcher", daemon=True
+        )
+        self._worker.start()
+
+    # -- client side --------------------------------------------------------
+
+    def submit(self, row: np.ndarray) -> Future:
+        """Enqueue one request row (shape (1, ...)); resolves to its result."""
+        if self._stop.is_set():
+            raise RuntimeError("batcher is closed")
+        fut: Future = Future()
+        self._queue.put(_Item(np.asarray(row), fut, time.perf_counter()))
+        return fut
+
+    def infer(self, row: np.ndarray, timeout: Optional[float] = None) -> Any:
+        return self.submit(row).result(timeout=timeout)
+
+    def close(self) -> None:
+        """Drain the queue, then stop the worker."""
+        self._stop.set()
+        self._worker.join(timeout=30.0)
+
+    # -- worker side ---------------------------------------------------------
+
+    def _collect(self) -> List[_Item]:
+        try:
+            first = self._queue.get(timeout=0.05)
+        except Empty:
+            return []
+        batch = [first]
+        deadline = time.perf_counter() + self.max_wait_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self._queue.get(timeout=remaining))
+            except Empty:
+                break
+        return batch
+
+    def _run(self) -> None:
+        while not (self._stop.is_set() and self._queue.empty()):
+            batch = self._collect()
+            if not batch:
+                continue
+            n = len(batch)
+            rows = np.concatenate([it.payload for it in batch], axis=0)
+            if self.pad_to_bucket:
+                target = _bucket(n, self.max_batch)
+                if target > n:
+                    pad = np.zeros((target - n,) + rows.shape[1:], rows.dtype)
+                    rows = np.concatenate([rows, pad], axis=0)
+            try:
+                results = self._infer_fn(rows)
+            except Exception as e:  # noqa: BLE001 — fan the error out
+                self.stats.record_error(n)
+                for it in batch:
+                    it.future.set_exception(e)
+                continue
+            done = time.perf_counter()
+            for it, res in zip(batch, results):
+                it.future.set_result(res)
+            self.stats.record_batch(
+                n, rows.shape[0], [done - it.t_enqueue for it in batch]
+            )
+
+
+# ---------------------------------------------------------------------------
+# services: predictor classes behind a batcher
+# ---------------------------------------------------------------------------
+
+
+class TranscribeService:
+    """A `predictor.LipReader` behind a DynamicBatcher.
+
+    Handler threads run host-side decode + the jitted preprocess
+    (`prepare_clip`, compiled once per frame geometry) in parallel; the
+    batcher's worker thread owns the model forward + CTC decode.
+    """
+
+    def __init__(self, reader, max_batch: int = 8, max_wait_ms: float = 10.0,
+                 stats: Optional[ServingStats] = None):
+        self.reader = reader
+        self.stats = stats or ServingStats()
+
+        def infer(rows: np.ndarray) -> Sequence[str]:
+            import jax.numpy as jnp
+
+            return reader._decode(reader._logprobs(jnp.asarray(rows)))
+
+        self.batcher = DynamicBatcher(
+            infer, max_batch=max_batch, max_wait_ms=max_wait_ms,
+            stats=self.stats,
+        )
+
+    def transcribe_frames(self, frames: np.ndarray,
+                          timeout: Optional[float] = None) -> str:
+        clip = np.asarray(self.reader._prepare(frames))
+        return self.batcher.infer(clip, timeout=timeout)
+
+    def transcribe_path(self, video_path: str,
+                        timeout: Optional[float] = None) -> str:
+        from avsync.data.video import decode_video_gray
+
+        frames = decode_video_gray(
+            video_path, max_frames=self.reader.cfg.data.max_video_length
+        )
+        if frames.size == 0:
+            raise ValueError(f"no frames decoded from {video_path}")
+        return self.transcribe_frames(frames, timeout=timeout)
+
+    def close(self) -> None:
+        self.batcher.close()
+
+
+class SyncScoreService:
+    """A `predictor.MisalignmentScorer` behind a lock.
+
+    Scoring builds a one-clip FeatureBank per request (conv features + MFCC
+    stats); the per-request work is clip-sized, so a simple serialization
+    lock is the right tool — batching would only help once feature
+    extraction batches across requests, which `misalign-eval` already does
+    for offline sweeps.
+    """
+
+    def __init__(self, scorer, stats: Optional[ServingStats] = None):
+        self.scorer = scorer
+        self.stats = stats or ServingStats()
+        self._lock = threading.Lock()
+
+    def score_arrays(self, frames, audio, fps, shifts=(0,)) -> np.ndarray:
+        t0 = time.perf_counter()
+        with self._lock:
+            probs = self.scorer.score_arrays(frames, audio, fps, shifts)
+        self.stats.record_batch(1, 1, [time.perf_counter() - t0])
+        return probs
+
+    def score_path(self, video_path: str, shifts=(0,)) -> np.ndarray:
+        from avsync.data.video import (
+            decode_video_gray,
+            get_video_fps,
+            load_audio_for_video,
+        )
+        from avsync.ops.audio import resample_host
+
+        cfg = self.scorer.cfg
+        frames = decode_video_gray(
+            video_path, max_frames=cfg.data.max_video_length
+        )
+        if frames.size == 0:
+            raise ValueError(f"no frames decoded from {video_path}")
+        audio, sr = load_audio_for_video(video_path, cfg.audio.sample_rate)
+        if sr != cfg.audio.sample_rate:
+            audio = resample_host(audio, sr, cfg.audio.sample_rate)
+        fps = get_video_fps(video_path, cfg.detector.default_fps)
+        return self.score_arrays(frames, audio, fps, shifts)
+
+
+# ---------------------------------------------------------------------------
+# HTTP surface
+# ---------------------------------------------------------------------------
+
+
+def _make_handler(server: "AvsyncServer"):
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        # silence the default per-request stderr line
+        def log_message(self, fmt, *args):  # noqa: D102
+            pass
+
+        def _send(self, code: int, payload: Dict[str, Any]) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _body(self) -> bytes:
+            n = int(self.headers.get("Content-Length", 0))
+            return self.rfile.read(n) if n else b""
+
+        def do_GET(self):  # noqa: N802
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok"})
+            elif self.path == "/v1/stats":
+                self._send(200, server.stats_snapshot())
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):  # noqa: N802
+            # read the body unconditionally: on HTTP/1.1 keep-alive an
+            # unread body would be parsed as the NEXT request line
+            body = self._body()
+            try:
+                if self.path == "/v1/transcribe":
+                    self._transcribe(body)
+                elif self.path == "/v1/sync_score":
+                    self._sync_score(body)
+                else:
+                    self._send(404, {"error": f"unknown path {self.path}"})
+            except ValueError as e:
+                self._send(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — daemon must not die
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+        # -- endpoints -------------------------------------------------------
+
+        def _transcribe(self, body: bytes):
+            svc = server.transcriber
+            if svc is None:
+                self._send(503, {"error": "no lipnet checkpoint loaded"})
+                return
+            ctype = self.headers.get("Content-Type", "")
+            t0 = time.perf_counter()
+            if ctype.startswith("application/x-npy"):
+                frames = np.load(io.BytesIO(body), allow_pickle=False)
+                text = svc.transcribe_frames(frames)
+            else:
+                req = json.loads(body or "{}")
+                path = req.get("video_path")
+                if not path:
+                    raise ValueError(
+                        "POST application/x-npy frame bytes or JSON "
+                        "{'video_path': ...}"
+                    )
+                text = svc.transcribe_path(path)
+            self._send(200, {
+                "transcript": text,
+                "latency_ms": round((time.perf_counter() - t0) * 1e3, 2),
+            })
+
+        def _sync_score(self, body: bytes):
+            svc = server.scorer
+            if svc is None:
+                self._send(503, {"error": "no detector checkpoint loaded"})
+                return
+            ctype = self.headers.get("Content-Type", "")
+            t0 = time.perf_counter()
+            if ctype.startswith("application/x-npz"):
+                with np.load(io.BytesIO(body),
+                             allow_pickle=False) as z:
+                    if "frames" not in z or "audio" not in z:
+                        raise ValueError("npz needs 'frames' and 'audio' "
+                                         "(optional 'fps', 'shifts')")
+                    frames, audio = z["frames"], z["audio"]
+                    fps = float(z["fps"]) if "fps" in z else 25.0
+                    shifts = ([int(s) for s in z["shifts"]]
+                              if "shifts" in z else [0])
+                probs = svc.score_arrays(frames, audio, fps, tuple(shifts))
+            else:
+                req = json.loads(body or "{}")
+                path = req.get("video_path")
+                if not path:
+                    raise ValueError(
+                        "POST application/x-npz {frames, audio[, fps, "
+                        "shifts]} or JSON {'video_path': ..., 'shifts': [...]}"
+                    )
+                shifts = tuple(int(s) for s in req.get("shifts", [0]))
+                probs = svc.score_path(path, shifts)
+            self._send(200, {
+                "shifts": list(shifts),
+                "sync_probs": [round(float(p), 6) for p in probs],
+                "latency_ms": round((time.perf_counter() - t0) * 1e3, 2),
+            })
+
+    return Handler
+
+
+class AvsyncServer:
+    """The `avsync serve` daemon: ThreadingHTTPServer + the services.
+
+    Endpoints:
+      GET  /healthz                 liveness
+      GET  /v1/stats                request counters, batch-size histogram,
+                                    latency percentiles
+      POST /v1/transcribe           application/x-npy (T,H,W) frame bytes,
+                                    or JSON {"video_path": ...}
+      POST /v1/sync_score           application/x-npz {frames, audio[, fps,
+                                    shifts]}, or JSON {"video_path": ...,
+                                    "shifts": [...]}
+    """
+
+    def __init__(
+        self,
+        transcriber: Optional[TranscribeService] = None,
+        scorer: Optional[SyncScoreService] = None,
+        host: str = "127.0.0.1",
+        port: int = 8777,
+    ):
+        from http.server import ThreadingHTTPServer
+
+        if transcriber is None and scorer is None:
+            raise ValueError("need at least one service")
+        self.transcriber = transcriber
+        self.scorer = scorer
+        self._httpd = ThreadingHTTPServer((host, port), _make_handler(self))
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def address(self) -> tuple:
+        return self._httpd.server_address
+
+    def stats_snapshot(self) -> Dict[str, Any]:
+        out: Dict[str, Any] = {}
+        if self.transcriber is not None:
+            out["transcribe"] = self.transcriber.stats.snapshot()
+            out["transcribe"]["max_batch"] = self.transcriber.batcher.max_batch
+        if self.scorer is not None:
+            out["sync_score"] = self.scorer.stats.snapshot()
+        return out
+
+    def start(self) -> None:
+        """Serve on a background thread (tests, embedding)."""
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, name="avsync-http", daemon=True
+        )
+        self._thread.start()
+
+    def serve_forever(self) -> None:
+        self._httpd.serve_forever()
+
+    def shutdown(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=10.0)
+        if self.transcriber is not None:
+            self.transcriber.close()

@@ -1,0 +1,381 @@
+"""Serving daemon tests: DynamicBatcher, the HTTP surface, quantize export.
+
+The reference has no serving story beyond one-off scripts
+(`predict.py:17-105`, `train.py:998-1075`); avsync/serving.py is the
+TPU-native production surface — these tests pin its batching policy,
+error propagation and HTTP contract on the CPU backend.
+"""
+
+import io
+import json
+import os
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from avsync.config import (
+    AudioConfig,
+    AvsyncConfig,
+    DataConfig,
+    DetectorConfig,
+    ModelConfig,
+)
+from avsync.serving import DynamicBatcher, ServingStats, _bucket
+
+TINY = AvsyncConfig(
+    data=DataConfig(img_height=16, img_width=32, max_video_length=8),
+    model=ModelConfig(hidden_dim=8, conv_channels=(2, 3, 4)),
+    audio=AudioConfig(max_audio_samples=8000),
+    detector=DetectorConfig(hidden_dim=16),
+)
+
+
+@pytest.fixture(scope="module")
+def checkpoints(tmp_path_factory):
+    from avsync.compat import save_detector_pth, save_lipnet_pth
+    from avsync.models import LipNet, MisalignmentDetector
+
+    root = tmp_path_factory.mktemp("servingd")
+    model = LipNet(TINY.model)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 8, 16, 32, 1))
+    )["params"]
+    lip = str(root / "lipnet.pth")
+    conv_shape = (4, 2, 4)
+    save_lipnet_pth(jax.device_get(params), lip, conv_shape=conv_shape)
+
+    det_model = MisalignmentDetector(hidden_dim=16)
+    conv_dim = 4 * 2 * 4
+    feat_dim = 2 * conv_dim + 40
+    det_params = det_model.init(
+        {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, feat_dim))
+    )["params"]
+    det = str(root / "detector.pth")
+    save_detector_pth(
+        jax.device_get(det_params), det, feat_dim, 16,
+        {"sample_rate": 16000, "n_mfcc": 20, "max_shift_frames": 10},
+        conv_shape=conv_shape, n_audio_feats=40,
+    )
+    return {"lipnet": lip, "detector": det, "root": str(root)}
+
+
+# ---------------------------------------------------------------------------
+# DynamicBatcher
+# ---------------------------------------------------------------------------
+
+
+def test_bucket_sizes():
+    assert [_bucket(n, 8) for n in (1, 2, 3, 4, 5, 8)] == [1, 2, 4, 4, 8, 8]
+    # max_batch need not be a power of two; it is always a legal bucket
+    assert _bucket(5, 6) == 6
+    assert _bucket(3, 3) == 3
+
+
+class TestDynamicBatcher:
+    def test_single_request_resolves_within_wait(self):
+        b = DynamicBatcher(lambda rows: rows.sum(axis=1).tolist(),
+                           max_batch=4, max_wait_ms=20.0)
+        try:
+            t0 = time.perf_counter()
+            out = b.infer(np.array([[1.0, 2.0, 3.0]]), timeout=5.0)
+            assert out == pytest.approx(6.0)
+            # lone request: pays ~max_wait, not forever
+            assert time.perf_counter() - t0 < 3.0
+        finally:
+            b.close()
+
+    def test_concurrent_requests_coalesce_and_route_correctly(self):
+        seen_sizes = []
+
+        def infer(rows):
+            seen_sizes.append(rows.shape[0])
+            time.sleep(0.01)
+            return (rows[:, 0] * 10).tolist()
+
+        b = DynamicBatcher(infer, max_batch=8, max_wait_ms=200.0)
+        results = {}
+
+        def client(i):
+            results[i] = b.infer(np.array([[float(i)]]), timeout=10.0)
+
+        try:
+            threads = [threading.Thread(target=client, args=(i,))
+                       for i in range(6)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            # every request got ITS OWN answer, not a batchmate's
+            assert results == {i: pytest.approx(10.0 * i) for i in range(6)}
+            # and they really coalesced (6 requests in far fewer batches)
+            assert max(seen_sizes) > 1
+            assert b.stats.requests == 6
+        finally:
+            b.close()
+
+    def test_pads_to_power_of_two_buckets(self):
+        sizes = []
+
+        def infer(rows):
+            sizes.append(rows.shape[0])
+            return list(range(rows.shape[0]))
+
+        b = DynamicBatcher(infer, max_batch=8, max_wait_ms=150.0)
+        try:
+            futs = [b.submit(np.zeros((1, 2))) for _ in range(3)]
+            for f in futs:
+                f.result(timeout=10.0)
+            # 3 rows pad to the 4-bucket (or arrive split across legal
+            # buckets if the worker won a race) — never a raw odd size
+            assert all(s in (1, 2, 4, 8) for s in sizes), sizes
+        finally:
+            b.close()
+
+    def test_error_fans_out_and_batcher_survives(self):
+        calls = {"n": 0}
+
+        def infer(rows):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("boom")
+            return rows[:, 0].tolist()
+
+        b = DynamicBatcher(infer, max_batch=4, max_wait_ms=5.0)
+        try:
+            with pytest.raises(RuntimeError, match="boom"):
+                b.infer(np.array([[1.0]]), timeout=10.0)
+            assert b.stats.errors == 1
+            # next request succeeds — one bad batch must not kill the worker
+            assert b.infer(np.array([[7.0]]), timeout=10.0) == 7.0
+        finally:
+            b.close()
+
+    def test_close_rejects_new_work(self):
+        b = DynamicBatcher(lambda rows: rows[:, 0].tolist(), max_batch=2,
+                           max_wait_ms=1.0)
+        b.close()
+        with pytest.raises(RuntimeError):
+            b.submit(np.zeros((1, 1)))
+
+    def test_stats_snapshot_shape(self):
+        s = ServingStats()
+        s.record_batch(2, 4, [0.010, 0.020])
+        s.record_error()
+        snap = s.snapshot()
+        assert snap["requests"] == 2 and snap["errors"] == 1
+        assert snap["batches"] == {4: 1}
+        assert snap["latency_ms"]["p50"] >= 10.0
+
+
+# ---------------------------------------------------------------------------
+# HTTP daemon
+# ---------------------------------------------------------------------------
+
+
+def _post(url, data, ctype):
+    req = urllib.request.Request(url, data=data, method="POST",
+                                 headers={"Content-Type": ctype})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return json.loads(r.read())
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return json.loads(r.read())
+
+
+def _npy_bytes(arr):
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def server(checkpoints):
+    from avsync.predictor import LipReader, MisalignmentScorer
+    from avsync.serving import (
+        AvsyncServer,
+        SyncScoreService,
+        TranscribeService,
+    )
+
+    reader = LipReader(checkpoints["lipnet"], TINY)
+    transcriber = TranscribeService(reader, max_batch=4, max_wait_ms=100.0)
+    scorer = SyncScoreService(
+        MisalignmentScorer(checkpoints["detector"], checkpoints["lipnet"],
+                           TINY)
+    )
+    srv = AvsyncServer(transcriber, scorer, host="127.0.0.1", port=0)
+    srv.start()
+    host, port = srv.address[0], srv.address[1]
+    yield {"url": f"http://{host}:{port}", "reader": reader,
+           "transcriber": transcriber}
+    srv.shutdown()
+
+
+class TestHTTPServer:
+    def test_healthz(self, server):
+        assert _get(server["url"] + "/healthz") == {"status": "ok"}
+
+    def test_transcribe_npy_matches_direct_reader(self, server):
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 255, (8, 16, 32), np.uint8)
+        direct = server["reader"].predict_frames(frames)
+        out = _post(server["url"] + "/v1/transcribe", _npy_bytes(frames),
+                    "application/x-npy")
+        assert out["transcript"] == direct
+        assert out["latency_ms"] >= 0
+
+    def test_transcribe_by_path(self, server, tmp_path):
+        rng = np.random.default_rng(1)
+        frames = rng.integers(0, 255, (8, 16, 32), np.uint8)
+        p = str(tmp_path / "clip.npy")
+        np.save(p, frames)
+        out = _post(server["url"] + "/v1/transcribe",
+                    json.dumps({"video_path": p}).encode(),
+                    "application/json")
+        assert out["transcript"] == server["reader"].predict_frames(frames)
+
+    def test_concurrent_clients_batch_on_the_server(self, server):
+        rng = np.random.default_rng(2)
+        frames = rng.integers(0, 255, (8, 16, 32), np.uint8)
+        direct = server["reader"].predict_frames(frames)
+        body = _npy_bytes(frames)
+        results, errors = [], []
+
+        def client():
+            try:
+                results.append(
+                    _post(server["url"] + "/v1/transcribe", body,
+                          "application/x-npy")["transcript"]
+                )
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=client) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        assert results == [direct] * 4
+        stats = _get(server["url"] + "/v1/stats")
+        assert stats["transcribe"]["requests"] >= 4
+        # the 4 concurrent posts coalesced into at least one multi-row batch
+        assert any(int(k) > 1 for k in stats["transcribe"]["batches"])
+
+    def test_sync_score_npz(self, server):
+        rng = np.random.default_rng(3)
+        frames = rng.integers(0, 255, (8, 16, 32), np.uint8)
+        audio = (np.sin(np.linspace(0, 200, 5000)) * 0.5).astype(np.float32)
+        buf = io.BytesIO()
+        np.savez(buf, frames=frames, audio=audio, fps=25.0,
+                 shifts=np.array([0, 5]))
+        out = _post(server["url"] + "/v1/sync_score", buf.getvalue(),
+                    "application/x-npz")
+        assert out["shifts"] == [0, 5]
+        assert len(out["sync_probs"]) == 2
+        assert all(0.0 <= p <= 1.0 for p in out["sync_probs"])
+
+    def test_bad_request_is_400(self, server):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(server["url"] + "/v1/transcribe", b"{}",
+                  "application/json")
+        assert ei.value.code == 400
+        assert "video_path" in json.loads(ei.value.read())["error"]
+
+    def test_unknown_path_is_404(self, server):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(server["url"] + "/nope")
+        assert ei.value.code == 404
+
+
+# ---------------------------------------------------------------------------
+# quantize export -> scale-loaded serving
+# ---------------------------------------------------------------------------
+
+
+class TestQuantizeExport:
+    @pytest.fixture(scope="class")
+    def corpus(self, tmp_path_factory):
+        from avsync.data import synthetic
+
+        root = str(tmp_path_factory.mktemp("qcorpus") / "grid")
+        synthetic.write_corpus(
+            root, n_speakers=1, clips_per_speaker=3, preprocessed=True,
+            n_frames=8, height=16, width=32, seed=5, with_audio=False,
+        )
+        return root
+
+    @pytest.fixture(scope="class")
+    def config_file(self, tmp_path_factory):
+        p = tmp_path_factory.mktemp("qcfg") / "tiny.json"
+        p.write_text(TINY.to_json())
+        return str(p)
+
+    def test_cli_quantize_exports_scales(self, checkpoints, corpus,
+                                         config_file, tmp_path):
+        from avsync.cli import main as cli_main
+
+        out = str(tmp_path / "scales.npz")
+        rc = cli_main([
+            "quantize", "--config", config_file, "--data_path", corpus,
+            "--checkpoint", checkpoints["lipnet"], "--out", out,
+            "--n_calib", "2",
+        ])
+        assert rc == 0
+        with np.load(out) as z:
+            scales = z["input_scales"]
+            assert str(z["family"]) == "pytorch"
+            assert int(z["n_calibration_clips"]) >= 2
+        assert scales.shape == (3,)  # one per conv layer
+        assert (scales > 0).all()
+
+    def test_reader_loads_exported_scales(self, checkpoints, corpus,
+                                          config_file, tmp_path):
+        from avsync.cli import main as cli_main
+        from avsync.predictor import LipReader
+
+        out = str(tmp_path / "scales.npz")
+        cli_main([
+            "quantize", "--config", config_file, "--data_path", corpus,
+            "--checkpoint", checkpoints["lipnet"], "--out", out,
+        ])
+        reader = LipReader(checkpoints["lipnet"], TINY, quantize="int8",
+                           calibration_scales=out)
+        # scales applied at load: no lazy calibration pass will run
+        assert reader._qparams is not None
+        np.testing.assert_allclose(
+            np.array([float(c.x_scale) for c in reader._qparams.convs]),
+            np.load(out)["input_scales"], rtol=1e-6,
+        )
+        rng = np.random.default_rng(6)
+        pred = reader.predict_frames(
+            rng.integers(0, 255, (8, 16, 32), np.uint8)
+        )
+        assert isinstance(pred, str)
+
+    def test_serve_parser_wiring(self):
+        from avsync.cli import build_parser, cmd_serve
+
+        args = build_parser().parse_args(
+            ["serve", "--checkpoint", "x.pth", "--quantize", "int8",
+             "--qscales", "s.npz", "--max_batch", "16", "--port", "0"]
+        )
+        assert args.fn is cmd_serve
+        assert args.max_batch == 16 and args.qscales == "s.npz"
+
+    def test_family_mismatch_rejected(self, checkpoints, tmp_path):
+        from avsync.predictor import LipReader
+
+        bad = str(tmp_path / "bad.npz")
+        np.savez(bad, input_scales=np.ones(3, np.float32), family="tf")
+        with pytest.raises(ValueError, match="family"):
+            LipReader(checkpoints["lipnet"], TINY, quantize="int8",
+                      calibration_scales=bad)
