@@ -599,10 +599,21 @@ def cmd_serve(args) -> int:
     )
 
     cfg = _config_from_args(args)
+    mesh = None
+    if args.dp != 1:
+        import jax
+
+        from avsync.parallel import make_mesh
+
+        n = len(jax.devices()) if args.dp == 0 else args.dp
+        if n > 1:
+            mesh = make_mesh((n, 1))
+            print(f"data-parallel serving over {n} devices")
     reader = LipReader(
         args.checkpoint, cfg,
         quantize=getattr(args, "quantize", None),
         calibration_scales=getattr(args, "qscales", None),
+        mesh=mesh,
     )
     transcriber = TranscribeService(
         reader, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
@@ -1213,6 +1224,10 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--max_wait_ms", type=float, default=10.0,
                     help="dynamic batching: max extra latency a lone "
                          "request pays waiting for batchmates")
+    sv.add_argument("--dp", type=int, default=1,
+                    help="data-parallel serving over N devices (0 = all): "
+                         "params replicate once, each batch shards its "
+                         "rows over the mesh's data axis")
     sv.add_argument("--quantize", choices=["int8"], default=None,
                     help="int8 conv stack (see `avsync quantize`)")
     sv.add_argument("--qscales", type=str, default=None,

@@ -147,6 +147,14 @@ class LipReader:
          normalized frames, but representative clips are better).
     Both families quantize — their conv blocks share the Conv3D+ReLU+Pool
     shape; GRU/LSTM/dense layers stay float. Greedy decode is unchanged.
+
+    `mesh` (a `jax.sharding.Mesh` from `avsync.parallel.make_mesh`) turns
+    on data-parallel serving: params replicate across the mesh once at
+    load, each batch shards its rows over the 'data' axis, and XLA runs
+    the forward on every chip with no collectives on the hot path (the
+    only cross-chip op is the result gather). Rows pad up to a multiple
+    of the data-axis size; numerics are identical to single-chip serving
+    (tested on the virtual 8-device mesh).
     """
 
     def __init__(
@@ -156,10 +164,22 @@ class LipReader:
         quantize: Optional[str] = None,
         calibration_frames: Optional[Sequence[np.ndarray]] = None,
         calibration_scales: Optional[object] = None,
+        mesh=None,
     ):
         self.cfg = config or AvsyncConfig()
         self.model = make_lipnet(self.cfg.model)
         self.params = _load_params(checkpoint, self.cfg)
+        self.mesh = mesh
+        self._n_data = 1
+        if mesh is not None:
+            from avsync.parallel import mesh as meshlib
+
+            self._n_data = mesh.shape["data"]
+            # replicate params across the mesh ONCE at load — per-request
+            # transfers would swamp the forward
+            self.params = jax.device_put(
+                self.params, meshlib.replicated(mesh)
+            )
         self._loc_params = load_localizer_params(self.cfg)
         self._mouth = load_mouth_detector(self.cfg)
         self._prep_cache: dict = {}  # jitted preprocess per frame geometry
@@ -199,9 +219,9 @@ class LipReader:
                         scales = z["input_scales"]
                 from avsync.ops.quant import quantize_lipnet
 
-                self._qparams = quantize_lipnet(
+                self._qparams = self._replicate(quantize_lipnet(
                     self.params, [], input_scales=np.asarray(scales)
-                )
+                ))
             elif calibration_frames:
                 self._build_qparams(
                     [self._prepare(f) for f in calibration_frames]
@@ -219,14 +239,37 @@ class LipReader:
     def _build_qparams(self, batches) -> None:
         from avsync.ops.quant import quantize_lipnet
 
-        self._qparams = quantize_lipnet(self.params, batches)
+        self._qparams = self._replicate(quantize_lipnet(self.params, batches))
+
+    def _replicate(self, tree):
+        if self.mesh is None:
+            return tree
+        from avsync.parallel import mesh as meshlib
+
+        return jax.device_put(tree, meshlib.replicated(self.mesh))
+
+    def _shard_rows(self, clips: jax.Array):
+        """Pad rows to a multiple of the data-axis size, shard over 'data'."""
+        if self.mesh is None:
+            return clips, clips.shape[0]
+        from avsync.parallel import mesh as meshlib
+
+        B = clips.shape[0]
+        pad = -B % self._n_data
+        if pad:
+            clips = jnp.concatenate(
+                [clips, jnp.zeros((pad,) + clips.shape[1:], clips.dtype)],
+                axis=0,
+            )
+        return meshlib.shard_batch(self.mesh, clips), B
 
     def _logprobs(self, clips: jax.Array) -> jax.Array:
+        clips, B = self._shard_rows(clips)
         if self._quantize is None:
-            return self._fwd(self.params, clips)
+            return self._fwd(self.params, clips)[:B]
         if self._qparams is None:  # lazy calibration on the first input
             self._build_qparams([clips])
-        return self._qfwd(self._qparams, clips)
+        return self._qfwd(self._qparams, clips)[:B]
 
     def predict_frames(self, frames: np.ndarray) -> str:
         return self._decode(self._logprobs(self._prepare(frames)))[0]

@@ -297,6 +297,73 @@ class TestHTTPServer:
 
 
 # ---------------------------------------------------------------------------
+# data-parallel serving (virtual 8-device mesh)
+# ---------------------------------------------------------------------------
+
+
+class TestDataParallelServing:
+    def test_mesh_serving_matches_single_device_exactly(self, checkpoints):
+        from avsync.parallel import make_mesh
+        from avsync.predictor import LipReader
+
+        single = LipReader(checkpoints["lipnet"], TINY)
+        dp = LipReader(checkpoints["lipnet"], TINY, mesh=make_mesh((8, 1)))
+        rng = np.random.default_rng(7)
+        frames = [rng.integers(0, 255, (8, 16, 32), np.uint8)
+                  for _ in range(3)]
+        # single clip: pads 1 -> 8 rows across the mesh, result unchanged
+        for f in frames:
+            assert dp.predict_frames(f) == single.predict_frames(f)
+        # a 3-row batch through the batched path (pads to 8, slices back)
+        clips = jnp.concatenate([single._prepare(f) for f in frames], axis=0)
+        np.testing.assert_allclose(
+            np.asarray(dp._logprobs(clips)),
+            np.asarray(single._logprobs(clips)),
+            atol=1e-6,
+        )
+
+    def test_mesh_serving_quantized(self, checkpoints):
+        from avsync.parallel import make_mesh
+        from avsync.predictor import LipReader
+
+        rng = np.random.default_rng(8)
+        calib = [rng.integers(0, 255, (8, 16, 32), np.uint8)]
+        single = LipReader(checkpoints["lipnet"], TINY, quantize="int8",
+                           calibration_frames=calib)
+        dp = LipReader(checkpoints["lipnet"], TINY, quantize="int8",
+                       calibration_frames=calib, mesh=make_mesh((8, 1)))
+        frames = rng.integers(0, 255, (8, 16, 32), np.uint8)
+        assert dp.predict_frames(frames) == single.predict_frames(frames)
+
+    def test_transcribe_service_over_mesh(self, checkpoints):
+        from avsync.parallel import make_mesh
+        from avsync.predictor import LipReader
+        from avsync.serving import TranscribeService
+
+        reader = LipReader(checkpoints["lipnet"], TINY,
+                           mesh=make_mesh((8, 1)))
+        svc = TranscribeService(reader, max_batch=4, max_wait_ms=50.0)
+        try:
+            rng = np.random.default_rng(9)
+            frames = rng.integers(0, 255, (8, 16, 32), np.uint8)
+            direct = reader.predict_frames(frames)
+            outs = []
+            threads = [
+                threading.Thread(
+                    target=lambda: outs.append(svc.transcribe_frames(frames))
+                )
+                for _ in range(3)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert outs == [direct] * 3
+        finally:
+            svc.close()
+
+
+# ---------------------------------------------------------------------------
 # quantize export -> scale-loaded serving
 # ---------------------------------------------------------------------------
 
