@@ -616,7 +616,8 @@ def cmd_serve(args) -> int:
         mesh=mesh,
     )
     transcriber = TranscribeService(
-        reader, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
+        reader, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        transport=getattr(args, "transport", "raw"),
     )
     scorer = None
     if args.detector_checkpoint:
@@ -1234,6 +1235,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="calibration scales .npz from `avsync quantize`; "
                          "without it, int8 calibrates lazily on the first "
                          "request")
+    sv.add_argument("--transport", choices=["raw", "f32"], default="raw",
+                    help="'raw' ships uint8 frames and preprocesses per "
+                         "batch on device (4-12x less host<->device "
+                         "traffic); 'f32' preprocesses per request")
     sv.set_defaults(fn=cmd_serve)
 
     m = sub.add_parser("misalign-train", help="train the misalignment detector")

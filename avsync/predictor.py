@@ -52,6 +52,79 @@ def load_mouth_detector(cfg: AvsyncConfig):
     return MouthDetector()
 
 
+def pad_frames(frames: np.ndarray, cfg: AvsyncConfig) -> np.ndarray:
+    """Host pad/truncate (T, H, W) raw frames to max_video_length,
+    PRESERVING dtype (uint8 in, uint8 out — the cast to f32 happens on
+    device so the host->device payload stays 4x smaller). Padding before
+    the ROI program matches training's _decode_clip order; see
+    prepare_clip's docstring."""
+    d = cfg.data
+    frames = np.asarray(frames)
+    T = frames.shape[0]
+    if T >= d.max_video_length:
+        return frames[: d.max_video_length]
+    return np.concatenate(
+        [frames,
+         np.zeros((d.max_video_length - T,) + frames.shape[1:],
+                  frames.dtype)],
+        axis=0,
+    )
+
+
+def detect_boxes_host(frames: np.ndarray, mouth_detector) -> np.ndarray:
+    """Host cascade mouth boxes for ONE padded clip -> (1, T, 4) f32.
+    The cascade requires 8-bit input (training always decodes uint8)."""
+    return mouth_detector.detect_clip(
+        np.ascontiguousarray(np.clip(frames, 0, 255)).astype(np.uint8)
+    )[None].astype(np.float32)
+
+
+def get_preprocess_fn(
+    cfg: AvsyncConfig, frame_shape, has_boxes: bool,
+    localizer_params=None, _cache=None,
+):
+    """Batch-first jitted preprocess: (B, T, H, W) uint8/f32 [+ (B, T, 4)
+    boxes] -> (B, T, h, w, 1) f32 model input. ONE builder shared by
+    prepare_clip (B=1) and the serving raw-transport batch path so the
+    two can never drift. frame_shape is (T, H, W); the returned fn casts
+    to f32 on device, so callers should ship native-dtype (uint8) arrays.
+    """
+    from avsync.data.pipeline import make_roi_crop_fn
+
+    d = cfg.data
+    target = (d.img_height, d.img_width)
+    native = tuple(frame_shape[1:]) != target
+    key = (tuple(frame_shape), native, has_boxes)
+    fn = None if _cache is None else _cache.get(key)
+    if fn is not None:
+        return fn
+    if not native:
+        def run(x):
+            out = (x.astype(jnp.float32) * (1.0 / 255.0))[..., None]
+            return (imglib.standardize_clips(out)
+                    if d.standardize_clips else out)
+    elif has_boxes:
+        def run(x, b):
+            out = (imglib.crop_resize_boxes(x.astype(jnp.float32), b, target)
+                   * (1.0 / 255.0))[..., None]
+            return (imglib.standardize_clips(out)
+                    if d.standardize_clips else out)
+    else:
+        lp = localizer_params
+        if d.roi_mode == "model" and lp is None:
+            lp = load_localizer_params(cfg)
+        roi = make_roi_crop_fn(d, d.roi_mode, lp)
+
+        def run(x):
+            out = roi(x)
+            return (imglib.standardize_clips(out)
+                    if d.standardize_clips else out)
+    fn = jax.jit(run)
+    if _cache is not None:
+        _cache[key] = fn
+    return fn
+
+
 def prepare_clip(
     frames: np.ndarray, cfg: AvsyncConfig, localizer_params=None,
     mouth_detector=None, _cache=None,
@@ -74,61 +147,22 @@ def prepare_clip(
     once and pass their per-instance `_cache` dict so the whole chain
     compiles once per frame geometry (the pipeline's _preproc_cache
     discipline)."""
-    from avsync.data.pipeline import make_roi_crop_fn
-
     d = cfg.data
-    frames = np.asarray(frames)
-    T = frames.shape[0]
-    if T >= d.max_video_length:
-        frames = frames[: d.max_video_length]
-    else:
-        frames = np.concatenate(
-            [frames,
-             np.zeros((d.max_video_length - T,) + frames.shape[1:],
-                      frames.dtype)],
-            axis=0,
-        )
+    frames = pad_frames(frames, cfg)
     target = (d.img_height, d.img_width)
     native = frames.shape[1:] != target
     boxes = None
     if native and d.roi_mode == "detector":
         if mouth_detector is None:
             mouth_detector = load_mouth_detector(cfg)
-        # the cascade requires 8-bit input (training always decodes uint8)
-        boxes = mouth_detector.detect_clip(
-            np.ascontiguousarray(np.clip(frames, 0, 255)).astype(np.uint8)
-        )[None]
+        boxes = detect_boxes_host(frames, mouth_detector)
 
-    key = (frames.shape, native, boxes is not None)
-    fn = None if _cache is None else _cache.get(key)
-    if fn is None:
-        if not native:
-            def run(x):
-                out = (x * (1.0 / 255.0))[..., None]
-                return (imglib.standardize_clips(out)
-                        if d.standardize_clips else out)
-        elif boxes is not None:
-            def run(x, b):
-                out = (imglib.crop_resize_boxes(x, b, target)
-                       * (1.0 / 255.0))[..., None]
-                return (imglib.standardize_clips(out)
-                        if d.standardize_clips else out)
-        else:
-            lp = localizer_params
-            if d.roi_mode == "model" and lp is None:
-                lp = load_localizer_params(cfg)
-            roi = make_roi_crop_fn(d, d.roi_mode, lp)
-
-            def run(x):
-                out = roi(x)
-                return (imglib.standardize_clips(out)
-                        if d.standardize_clips else out)
-        fn = jax.jit(run)
-        if _cache is not None:
-            _cache[key] = fn
-    x = jnp.asarray(frames, jnp.float32)[None]
+    fn = get_preprocess_fn(
+        cfg, frames.shape, boxes is not None, localizer_params, _cache
+    )
+    x = jnp.asarray(frames)[None]
     if boxes is not None:
-        return fn(x, jnp.asarray(boxes, jnp.float32))
+        return fn(x, jnp.asarray(boxes))
     return fn(x)
 
 
@@ -235,6 +269,35 @@ class LipReader:
     def _prepare(self, frames: np.ndarray) -> jax.Array:
         return prepare_clip(frames, self.cfg, self._loc_params, self._mouth,
                             _cache=self._prep_cache)
+
+    def prepare_raw(self, frames: np.ndarray):
+        """Host half of the serving raw transport: (T, H, W) frames ->
+        (frames_u8 (1, T, H, W)[, boxes (1, T, 4)]) payload tuple, dtype
+        preserved (uint8 stays uint8 — 4x less host->device traffic than
+        the f32 row `_prepare` produces). Device half is
+        `preprocess_device`; together they compute EXACTLY `_prepare`
+        (same get_preprocess_fn program), just batched and transfer-lean.
+        """
+        frames = pad_frames(frames, self.cfg)
+        d = self.cfg.data
+        native = frames.shape[1:] != (d.img_height, d.img_width)
+        if native and d.roi_mode == "detector":
+            return (frames[None], detect_boxes_host(frames, self._mouth))
+        return (frames[None],)
+
+    def preprocess_device(self, frames, boxes=None) -> jax.Array:
+        """Device half of the raw transport: (B, T, H, W) raw frames
+        [+ (B, T, 4) boxes] -> (B, T, h, w, 1) model input, one jitted
+        program per frame geometry (cached in _prep_cache alongside
+        prepare_clip's — they are the same programs)."""
+        frames = jnp.asarray(frames)
+        fn = get_preprocess_fn(
+            self.cfg, frames.shape[1:], boxes is not None,
+            self._loc_params, self._prep_cache,
+        )
+        if boxes is not None:
+            return fn(frames, jnp.asarray(boxes))
+        return fn(frames)
 
     def _build_qparams(self, batches) -> None:
         from avsync.ops.quant import quantize_lipnet

@@ -104,7 +104,8 @@ class ServingStats:
 
 @dataclass
 class _Item:
-    payload: np.ndarray  # one request row, shape (1, ...)
+    payload: tuple  # one request row: tuple of arrays, each shape (1, ...)
+    single: bool  # submit() got a bare array (unwrap before infer_fn)
     future: Future
     t_enqueue: float
 
@@ -157,12 +158,18 @@ class DynamicBatcher:
 
     # -- client side --------------------------------------------------------
 
-    def submit(self, row: np.ndarray) -> Future:
-        """Enqueue one request row (shape (1, ...)); resolves to its result."""
+    def submit(self, row) -> Future:
+        """Enqueue one request row (a (1, ...) array, or a TUPLE of (1, ...)
+        arrays for multi-part payloads — e.g. the raw serving transport's
+        (frames, boxes)); resolves to its result. Rows batch only with rows
+        of matching arity/geometry/dtype (see _run's grouping)."""
         if self._stop.is_set():
             raise RuntimeError("batcher is closed")
+        single = not isinstance(row, tuple)
+        payload = ((np.asarray(row),) if single
+                   else tuple(np.asarray(p) for p in row))
         fut: Future = Future()
-        self._queue.put(_Item(np.asarray(row), fut, time.perf_counter()))
+        self._queue.put(_Item(payload, single, fut, time.perf_counter()))
         return fut
 
     def infer(self, row: np.ndarray, timeout: Optional[float] = None) -> Any:
@@ -197,26 +204,43 @@ class DynamicBatcher:
             batch = self._collect()
             if not batch:
                 continue
-            n = len(batch)
-            rows = np.concatenate([it.payload for it in batch], axis=0)
-            if self.pad_to_bucket:
-                target = _bucket(n, self.max_batch)
-                if target > n:
-                    pad = np.zeros((target - n,) + rows.shape[1:], rows.dtype)
-                    rows = np.concatenate([rows, pad], axis=0)
-            try:
-                results = self._infer_fn(rows)
-            except Exception as e:  # noqa: BLE001 — fan the error out
-                self.stats.record_error(n)
-                for it in batch:
-                    it.future.set_exception(e)
-                continue
-            done = time.perf_counter()
-            for it, res in zip(batch, results):
-                it.future.set_result(res)
-            self.stats.record_batch(
-                n, rows.shape[0], [done - it.t_enqueue for it in batch]
-            )
+            # group by payload arity/geometry/dtype: raw-transport clients
+            # may mix frame resolutions; each group is its own batch (one
+            # XLA program per geometry — same discipline as the
+            # per-geometry preprocess cache)
+            groups: Dict[tuple, List[_Item]] = {}
+            for it in batch:
+                key = (it.single,) + tuple(
+                    (p.shape[1:], str(p.dtype)) for p in it.payload
+                )
+                groups.setdefault(key, []).append(it)
+            for items in groups.values():
+                self._run_group(items)
+
+    def _run_group(self, batch: List[_Item]) -> None:
+        n = len(batch)
+        target = _bucket(n, self.max_batch) if self.pad_to_bucket else n
+        parts = []
+        for j in range(len(batch[0].payload)):
+            rows = np.concatenate([it.payload[j] for it in batch], axis=0)
+            if target > n:
+                pad = np.zeros((target - n,) + rows.shape[1:], rows.dtype)
+                rows = np.concatenate([rows, pad], axis=0)
+            parts.append(rows)
+        arg = parts[0] if batch[0].single else tuple(parts)
+        try:
+            results = self._infer_fn(arg)
+        except Exception as e:  # noqa: BLE001 — fan the error out
+            self.stats.record_error(n)
+            for it in batch:
+                it.future.set_exception(e)
+            return
+        done = time.perf_counter()
+        for it, res in zip(batch, results):
+            it.future.set_result(res)
+        self.stats.record_batch(
+            n, target, [done - it.t_enqueue for it in batch]
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -227,20 +251,43 @@ class DynamicBatcher:
 class TranscribeService:
     """A `predictor.LipReader` behind a DynamicBatcher.
 
-    Handler threads run host-side decode + the jitted preprocess
-    (`prepare_clip`, compiled once per frame geometry) in parallel; the
-    batcher's worker thread owns the model forward + CTC decode.
+    Two transports:
+
+      * 'raw' (default): handler threads only pad on host (+ cascade boxes
+        in detector mode); the payload stays NATIVE dtype (uint8) and the
+        batcher's worker runs the jitted preprocess per BATCH on device
+        before the forward. One uint8 upload per request — the same
+        transfer discipline as the training pipeline. Through a thin host
+        link this is the difference between transfer-bound and
+        forward-bound serving (a 75x50x100 clip ships 375 KB instead of
+        the f32 path's 4.5 MB of round trips).
+      * 'f32': handler threads run the full jitted preprocess per request
+        (`prepare_clip`, B=1) and ship the resulting f32 row back through
+        host to the batcher. Kept for comparison/debugging.
+
+    Both compute bit-identical results (same get_preprocess_fn programs).
     """
 
     def __init__(self, reader, max_batch: int = 8, max_wait_ms: float = 10.0,
-                 stats: Optional[ServingStats] = None):
+                 stats: Optional[ServingStats] = None,
+                 transport: str = "raw"):
+        if transport not in ("raw", "f32"):
+            raise ValueError(f"unknown transport: {transport!r}")
         self.reader = reader
         self.stats = stats or ServingStats()
+        self.transport = transport
 
-        def infer(rows: np.ndarray) -> Sequence[str]:
-            import jax.numpy as jnp
+        import jax.numpy as jnp
 
-            return reader._decode(reader._logprobs(jnp.asarray(rows)))
+        if transport == "raw":
+            def infer(payload) -> Sequence[str]:
+                frames = payload[0]
+                boxes = payload[1] if len(payload) > 1 else None
+                clips = reader.preprocess_device(frames, boxes)
+                return reader._decode(reader._logprobs(clips))
+        else:
+            def infer(rows: np.ndarray) -> Sequence[str]:
+                return reader._decode(reader._logprobs(jnp.asarray(rows)))
 
         self.batcher = DynamicBatcher(
             infer, max_batch=max_batch, max_wait_ms=max_wait_ms,
@@ -249,8 +296,11 @@ class TranscribeService:
 
     def transcribe_frames(self, frames: np.ndarray,
                           timeout: Optional[float] = None) -> str:
-        clip = np.asarray(self.reader._prepare(frames))
-        return self.batcher.infer(clip, timeout=timeout)
+        if self.transport == "raw":
+            payload = self.reader.prepare_raw(frames)
+        else:
+            payload = np.asarray(self.reader._prepare(frames))
+        return self.batcher.infer(payload, timeout=timeout)
 
     def transcribe_path(self, video_path: str,
                         timeout: Optional[float] = None) -> str:

@@ -446,3 +446,166 @@ class TestQuantizeExport:
         with pytest.raises(ValueError, match="family"):
             LipReader(checkpoints["lipnet"], TINY, quantize="int8",
                       calibration_scales=bad)
+
+
+# ---------------------------------------------------------------------------
+# tuple payloads + raw transport
+# ---------------------------------------------------------------------------
+
+
+class TestTuplePayloads:
+    def test_tuple_payload_routes_per_row(self):
+        def infer(payload):
+            a, b = payload
+            return (a[:, 0] + b[:, 0]).tolist()
+
+        batcher = DynamicBatcher(infer, max_batch=4, max_wait_ms=5.0)
+        try:
+            out = batcher.infer(
+                (np.array([[2.0]]), np.array([[3.0]])), timeout=10.0
+            )
+            assert out == pytest.approx(5.0)
+        finally:
+            batcher.close()
+
+    def test_mixed_geometry_splits_into_groups(self):
+        """Raw-transport clients may mix frame resolutions; rows must only
+        batch with geometry-matching rows and every request must still get
+        ITS OWN answer."""
+        shapes_seen = []
+
+        def infer(rows):
+            shapes_seen.append(rows.shape)
+            return [float(rows.shape[1])] * rows.shape[0]
+
+        b = DynamicBatcher(infer, max_batch=8, max_wait_ms=200.0)
+        try:
+            futs = [b.submit(np.zeros((1, w))) for w in (3, 5, 3, 5)]
+            assert [f.result(timeout=10.0) for f in futs] == [3, 5, 3, 5]
+            assert all(s[1] in (3, 5) for s in shapes_seen)
+            assert b.stats.requests == 4
+        finally:
+            b.close()
+
+    def test_dtype_is_part_of_the_group_key(self):
+        dtypes_seen = []
+
+        def infer(rows):
+            dtypes_seen.append(rows.dtype)
+            return list(range(rows.shape[0]))
+
+        b = DynamicBatcher(infer, max_batch=8, max_wait_ms=200.0)
+        try:
+            futs = [b.submit(np.zeros((1, 2), np.uint8)),
+                    b.submit(np.zeros((1, 2), np.float32))]
+            for f in futs:
+                f.result(timeout=10.0)
+            # a uint8 row must never be upcast by stacking with f32 rows
+            assert all(d in (np.uint8, np.float32) for d in dtypes_seen)
+        finally:
+            b.close()
+
+
+class TestRawTransport:
+    """The raw (uint8, preprocess-on-device-per-batch) serving transport
+    must be indistinguishable from the per-request f32 path — same ROI
+    program, same transcripts — while shipping 4-12x fewer bytes."""
+
+    @pytest.mark.parametrize("roi_mode",
+                             ["heuristic", "variance", "detector"])
+    def test_raw_matches_direct_reader(self, checkpoints, roi_mode):
+        import dataclasses
+
+        from avsync.predictor import LipReader
+        from avsync.serving import TranscribeService
+
+        cfg = dataclasses.replace(
+            TINY, data=dataclasses.replace(TINY.data, roi_mode=roi_mode)
+        )
+        reader = LipReader(checkpoints["lipnet"], cfg)
+        rng = np.random.default_rng(10)
+        # T=5 < max_len=8 and native geometry: exercises host pad + ROI
+        frames = rng.integers(0, 255, (5, 64, 128), np.uint8)
+        direct = reader.predict_frames(frames)
+        for transport in ("raw", "f32"):
+            svc = TranscribeService(reader, max_batch=4, max_wait_ms=20.0,
+                                    transport=transport)
+            try:
+                assert svc.transcribe_frames(frames, timeout=60.0) == direct
+            finally:
+                svc.close()
+
+    def test_raw_preprocess_bit_identical_to_prepare(self, checkpoints):
+        """prepare_raw + preprocess_device IS prepare_clip (same cached
+        jitted program), so B=1 results are bit-identical."""
+        from avsync.predictor import LipReader
+
+        reader = LipReader(checkpoints["lipnet"], TINY)
+        rng = np.random.default_rng(11)
+        frames = rng.integers(0, 255, (8, 64, 128), np.uint8)
+        via_raw = np.asarray(reader.preprocess_device(
+            *reader.prepare_raw(frames)))
+        via_f32 = np.asarray(reader._prepare(frames))
+        np.testing.assert_array_equal(via_raw, via_f32)
+
+    def test_raw_batched_preprocess_matches_per_clip(self, checkpoints):
+        from avsync.predictor import LipReader
+
+        reader = LipReader(checkpoints["lipnet"], TINY)
+        rng = np.random.default_rng(12)
+        clips = [rng.integers(0, 255, (8, 64, 128), np.uint8)
+                 for _ in range(3)]
+        stacked = np.concatenate(
+            [reader.prepare_raw(c)[0] for c in clips], axis=0
+        )
+        batched = np.asarray(reader.preprocess_device(stacked))
+        for i, c in enumerate(clips):
+            np.testing.assert_allclose(
+                batched[i], np.asarray(reader._prepare(c))[0], atol=1e-6
+            )
+
+    def test_raw_payload_stays_uint8(self, checkpoints):
+        from avsync.predictor import LipReader
+
+        reader = LipReader(checkpoints["lipnet"], TINY)
+        frames = np.zeros((5, 64, 128), np.uint8)
+        payload = reader.prepare_raw(frames)
+        assert payload[0].dtype == np.uint8
+        assert payload[0].shape == (1, 8, 64, 128)  # padded to max_len
+
+    def test_mixed_geometry_concurrent_requests(self, checkpoints):
+        """One service, clients sending native full frames AND pre-cropped
+        clips concurrently — grouping must keep both correct."""
+        from avsync.predictor import LipReader
+        from avsync.serving import TranscribeService
+
+        reader = LipReader(checkpoints["lipnet"], TINY)
+        rng = np.random.default_rng(13)
+        native = rng.integers(0, 255, (8, 64, 128), np.uint8)
+        cropped = rng.integers(0, 255, (8, 16, 32), np.uint8)
+        want = {"native": reader.predict_frames(native),
+                "cropped": reader.predict_frames(cropped)}
+        svc = TranscribeService(reader, max_batch=4, max_wait_ms=100.0)
+        got = {}
+        try:
+            ts = [
+                threading.Thread(target=lambda: got.__setitem__(
+                    "native", svc.transcribe_frames(native, timeout=120.0))),
+                threading.Thread(target=lambda: got.__setitem__(
+                    "cropped", svc.transcribe_frames(cropped, timeout=120.0))),
+            ]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+        finally:
+            svc.close()
+        assert got == want
+
+    def test_bad_transport_rejected(self, checkpoints):
+        from avsync.predictor import LipReader
+        from avsync.serving import TranscribeService
+
+        reader = LipReader(checkpoints["lipnet"], TINY)
+        with pytest.raises(ValueError, match="transport"):
+            TranscribeService(reader, transport="grpc")
