@@ -394,6 +394,75 @@ class MisalignmentScorer:
             lambda p, f: jax.nn.sigmoid(self.detector.apply({"params": p}, f))
         )
 
+        from avsync.features import visual_stats_fn
+        from avsync.ops.audio import shifted_audio_stats
+
+        vfn = visual_stats_fn(self.lipnet)
+        acfg = self.cfg.audio
+        detector = self.detector
+
+        def score_batch(det_params, lip_params, clips, audio, lens, fps,
+                        shifts):
+            """ONE device program for B requests x K shifts each: conv
+            visual stats + fused shift->MFCC->stats + detector forward —
+            the serving replacement for the per-request FeatureBank
+            round trip (visual features never visit the host)."""
+            vis = vfn(lip_params, clips)  # (B, 2*conv_dim)
+            B, K = shifts.shape
+            vis_r = jnp.repeat(vis, K, axis=0)
+            aud_r = jnp.repeat(audio, K, axis=0)
+            lens_r = jnp.repeat(lens, K)
+            fps_r = jnp.repeat(fps, K)
+            astats = shifted_audio_stats(
+                aud_r, lens_r, shifts.reshape(-1), fps_r, acfg
+            )
+            feats = jnp.concatenate([vis_r, astats], axis=-1)
+            logits = detector.apply({"params": det_params}, feats)
+            return jax.nn.sigmoid(logits).reshape(B, K)
+
+        self._score_batch = jax.jit(score_batch)
+
+    def prepare_raw(self, frames: np.ndarray, audio: np.ndarray, fps: float,
+                    shifts: Sequence[int] = (0,)):
+        """Host half of batched sync scoring: one request -> payload tuple
+        (frames_u8 (1,T,H,W)[, boxes (1,T,4)], audio (1,S) f32,
+        audio_len (1,) i32, fps (1,) f32, shifts (1,K) i32). Frames keep
+        native dtype (uint8) — the cast + ROI run per batch on device,
+        same transfer discipline as LipReader.prepare_raw."""
+        frames = pad_frames(frames, self.cfg)
+        d = self.cfg.data
+        native = frames.shape[1:] != (d.img_height, d.img_width)
+        head = ((frames[None], detect_boxes_host(frames, self._mouth))
+                if native and d.roi_mode == "detector" else (frames[None],))
+        S = self.cfg.audio.max_audio_samples
+        a = np.asarray(audio, np.float32)[:S]
+        buf = np.zeros((1, S), np.float32)
+        buf[0, : len(a)] = a
+        return head + (
+            buf,
+            np.array([len(a)], np.int32),
+            np.array([fps], np.float32),
+            np.asarray(shifts, np.int32)[None],
+        )
+
+    def score_payload_batch(self, payload) -> List[np.ndarray]:
+        """Device half: stacked payload (B rows) -> list of (K,) sync-prob
+        arrays, one per row, in ONE jitted program (per B-bucket/K/geometry).
+        """
+        has_boxes = len(payload) == 6
+        frames = jnp.asarray(payload[0])
+        boxes = jnp.asarray(payload[1]) if has_boxes else None
+        audio, lens, fps, shifts = (jnp.asarray(p) for p in payload[-4:])
+        fn = get_preprocess_fn(
+            self.cfg, frames.shape[1:], has_boxes,
+            self._loc_params, self._prep_cache,
+        )
+        clips = fn(frames, boxes) if has_boxes else fn(frames)
+        probs = np.asarray(self._score_batch(
+            self.det_params, self.lip_params, clips, audio, lens, fps, shifts
+        ))
+        return list(probs)
+
     def score_arrays(
         self,
         frames: np.ndarray,
@@ -402,23 +471,8 @@ class MisalignmentScorer:
         shifts: Sequence[int] = (0,),
     ) -> np.ndarray:
         """(T,H,W) frames + mono 16 kHz audio -> sync probs per shift."""
-        from avsync.features import build_feature_bank, gather_features
-
-        clips = prepare_clip(
-            frames, self.cfg, self._loc_params, self._mouth,
-            _cache=self._prep_cache,
-        )
-        bank = build_feature_bank(
-            self.lipnet, self.lip_params, [clips], [audio], [fps], self.cfg
-        )
-        n = len(shifts)
-        feats = gather_features(
-            bank,
-            jnp.zeros(n, jnp.int32),
-            jnp.asarray(np.asarray(shifts, np.int32)),
-            self.cfg.audio,
-        )
-        return np.asarray(self._score(self.det_params, feats))
+        payload = self.prepare_raw(frames, audio, fps, shifts)
+        return self.score_payload_batch(payload)[0]
 
     def score(self, video_path: str, shift_frames: int = 0) -> float:
         from avsync.data.video import (

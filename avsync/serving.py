@@ -318,26 +318,32 @@ class TranscribeService:
 
 
 class SyncScoreService:
-    """A `predictor.MisalignmentScorer` behind a lock.
+    """A `predictor.MisalignmentScorer` behind a DynamicBatcher.
 
-    Scoring builds a one-clip FeatureBank per request (conv features + MFCC
-    stats); the per-request work is clip-sized, so a simple serialization
-    lock is the right tool — batching would only help once feature
-    extraction batches across requests, which `misalign-eval` already does
-    for offline sweeps.
+    Concurrent requests coalesce into ONE device program (B-bucket x K
+    shifts): uint8 frames preprocess per batch, conv visual stats + fused
+    shift->MFCC->stats + detector forward run fused on device
+    (`MisalignmentScorer.score_payload_batch`) — visual features never
+    visit the host. Requests batch with geometry/shift-count-matching
+    requests; mixed ones run as their own groups (batcher grouping).
     """
 
-    def __init__(self, scorer, stats: Optional[ServingStats] = None):
+    def __init__(self, scorer, max_batch: int = 8, max_wait_ms: float = 10.0,
+                 stats: Optional[ServingStats] = None):
         self.scorer = scorer
         self.stats = stats or ServingStats()
-        self._lock = threading.Lock()
+        self.batcher = DynamicBatcher(
+            scorer.score_payload_batch, max_batch=max_batch,
+            max_wait_ms=max_wait_ms, stats=self.stats,
+        )
 
-    def score_arrays(self, frames, audio, fps, shifts=(0,)) -> np.ndarray:
-        t0 = time.perf_counter()
-        with self._lock:
-            probs = self.scorer.score_arrays(frames, audio, fps, shifts)
-        self.stats.record_batch(1, 1, [time.perf_counter() - t0])
-        return probs
+    def score_arrays(self, frames, audio, fps, shifts=(0,),
+                     timeout: Optional[float] = None) -> np.ndarray:
+        payload = self.scorer.prepare_raw(frames, audio, fps, tuple(shifts))
+        return self.batcher.infer(payload, timeout=timeout)
+
+    def close(self) -> None:
+        self.batcher.close()
 
     def score_path(self, video_path: str, shifts=(0,)) -> np.ndarray:
         from avsync.data.video import (
@@ -534,3 +540,5 @@ class AvsyncServer:
             self._thread.join(timeout=10.0)
         if self.transcriber is not None:
             self.transcriber.close()
+        if self.scorer is not None:
+            self.scorer.close()

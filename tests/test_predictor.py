@@ -183,3 +183,35 @@ class TestMisalignmentScorer:
         )
         s = scorer.score(clip, shift_frames=0)
         assert 0.0 <= s <= 1.0
+
+    def test_score_arrays_matches_feature_bank_path(self, checkpoints):
+        """score_arrays runs the fused one-program scorer; it must agree
+        with the explicit FeatureBank path (build bank -> gather -> score)
+        that misalign-eval uses offline."""
+        import jax
+        import jax.numpy as jnp
+
+        from avsync.features import build_feature_bank, gather_features
+        from avsync.predictor import prepare_clip
+
+        scorer = MisalignmentScorer(
+            checkpoints["detector"], checkpoints["lipnet"], TINY
+        )
+        rng = np.random.default_rng(4)
+        frames = rng.integers(0, 255, (8, 16, 32), np.uint8)
+        audio = (np.sin(np.linspace(0, 150, 6000)) * 0.5).astype(np.float32)
+        shifts = (0, 3, -7)
+        got = scorer.score_arrays(frames, audio, 25.0, shifts=shifts)
+
+        clips = prepare_clip(frames, TINY)
+        bank = build_feature_bank(
+            scorer.lipnet, scorer.lip_params, [clips], [audio], [25.0], TINY
+        )
+        feats = gather_features(
+            bank, jnp.zeros(len(shifts), jnp.int32),
+            jnp.asarray(np.asarray(shifts, np.int32)), TINY.audio,
+        )
+        want = np.asarray(jax.nn.sigmoid(
+            scorer.detector.apply({"params": scorer.det_params}, feats)
+        ))
+        np.testing.assert_allclose(got, want, atol=1e-5)

@@ -609,3 +609,44 @@ class TestRawTransport:
         reader = LipReader(checkpoints["lipnet"], TINY)
         with pytest.raises(ValueError, match="transport"):
             TranscribeService(reader, transport="grpc")
+
+
+class TestSyncScoreBatching:
+    def test_concurrent_sync_scores_coalesce_and_route(self, checkpoints):
+        """Concurrent sync-score requests must batch into one device
+        program AND each get its own clip's answer."""
+        from avsync.predictor import MisalignmentScorer
+        from avsync.serving import SyncScoreService
+
+        scorer = MisalignmentScorer(checkpoints["detector"],
+                                    checkpoints["lipnet"], TINY)
+        rng = np.random.default_rng(20)
+        reqs = []
+        for _ in range(3):
+            frames = rng.integers(0, 255, (8, 16, 32), np.uint8)
+            audio = rng.standard_normal(5000).astype(np.float32) * 0.3
+            reqs.append((frames, audio))
+        want = [scorer.score_arrays(f, a, 25.0, shifts=(0, 4))
+                for f, a in reqs]
+
+        svc = SyncScoreService(scorer, max_batch=4, max_wait_ms=150.0)
+        got = [None] * len(reqs)
+        try:
+            def client(i):
+                f, a = reqs[i]
+                got[i] = svc.score_arrays(f, a, 25.0, shifts=(0, 4),
+                                          timeout=120.0)
+
+            ts = [threading.Thread(target=client, args=(i,))
+                  for i in range(len(reqs))]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+        finally:
+            svc.close()
+        # 3 requests pad to the 4-bucket with a zero row (fps=0, len=0) —
+        # padding must not perturb real rows
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(g, w, atol=1e-5)
+        assert svc.stats.requests == 3
