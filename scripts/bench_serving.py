@@ -79,6 +79,106 @@ def warm_buckets(svc, clips, max_batch):
         b = min(2 * b, max_batch)
 
 
+def build_scorer(tmpdir):
+    import jax
+    import jax.numpy as jnp
+
+    from avsync.compat import save_detector_pth, save_lipnet_pth
+    from avsync.config import AvsyncConfig, ModelConfig
+    from avsync.models import LipNet, MisalignmentDetector
+    from avsync.predictor import MisalignmentScorer
+
+    cfg = AvsyncConfig(model=ModelConfig(
+        compute_dtype="bfloat16", packed_conv=True))
+    model = LipNet(cfg.model)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 75, 50, 100, 1))
+    )["params"]
+    lip = os.path.join(tmpdir, "bench_serving_lipnet.pth")
+    save_lipnet_pth(jax.device_get(params), lip, conv_shape=(96, 6, 12))
+    conv_dim = 96 * 6 * 12
+    feat_dim = 2 * conv_dim + 2 * cfg.audio.n_mfcc
+    det_model = MisalignmentDetector(hidden_dim=512)
+    dp = det_model.init(
+        {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, feat_dim))
+    )["params"]
+    det = os.path.join(tmpdir, "bench_serving_detector.pth")
+    save_detector_pth(
+        jax.device_get(dp), det, feat_dim, 512,
+        {"sample_rate": 16000, "n_mfcc": cfg.audio.n_mfcc,
+         "max_shift_frames": 20},
+        conv_shape=(96, 6, 12), n_audio_feats=2 * cfg.audio.n_mfcc,
+    )
+    return MisalignmentScorer(det, lip, cfg)
+
+
+def run_sync_sweep(scorer, clips_u8, clients_list, n_requests, max_batch,
+                   max_wait_ms, shifts=(0, 10, -10)):
+    from avsync.serving import SyncScoreService
+
+    rng = np.random.default_rng(3)
+    audios = [(rng.standard_normal(48000) * 0.2).astype(np.float32)
+              for _ in clips_u8]
+    results = []
+    for n_clients in clients_list:
+        svc = SyncScoreService(scorer, max_batch=max_batch,
+                               max_wait_ms=max_wait_ms)
+        try:
+            # warm every bucket (the fused scorer compiles per B-bucket)
+            b = 1
+            while True:
+                stacked = tuple(
+                    np.concatenate(parts, axis=0) for parts in zip(
+                        *[scorer.prepare_raw(clips_u8[i % len(clips_u8)],
+                                             audios[i % len(audios)],
+                                             25.0, shifts)
+                          for i in range(b)])
+                )
+                scorer.score_payload_batch(stacked)
+                if b >= max_batch:
+                    break
+                b = min(2 * b, max_batch)
+
+            per_client = max(1, n_requests // n_clients)
+            errs = []
+
+            def client(ci):
+                try:
+                    for i in range(per_client):
+                        k = (ci + i) % len(clips_u8)
+                        svc.score_arrays(clips_u8[k], audios[k], 25.0,
+                                         shifts=shifts, timeout=600)
+                except Exception as e:  # noqa: BLE001
+                    errs.append(e)
+
+            threads = [threading.Thread(target=client, args=(ci,))
+                       for ci in range(n_clients)]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            dt = time.perf_counter() - t0
+            if errs:
+                raise errs[0]
+            snap = svc.stats.snapshot()
+            total = per_client * n_clients
+            rec = {
+                "service": "sync_score",
+                "clients": n_clients,
+                "requests_per_sec": round(total / dt, 2),
+                "shift_scores_per_sec": round(total * len(shifts) / dt, 2),
+                "mean_latency_ms": snap["latency_ms"]["p50"],
+                "p99_latency_ms": snap["latency_ms"]["p99"],
+                "batch_histogram": snap["batches"],
+            }
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+        finally:
+            svc.close()
+    return results
+
+
 def run_sweep(reader, transport, clips_u8, clients_list, n_requests,
               max_batch, max_wait_ms):
     from avsync.serving import TranscribeService
@@ -136,6 +236,8 @@ def main():
     ap.add_argument("--max_wait_ms", type=float, default=10.0)
     ap.add_argument("--transports", nargs="+", default=["raw", "f32"],
                     choices=["raw", "f32"])
+    ap.add_argument("--service", choices=["transcribe", "sync"],
+                    default="transcribe")
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--geometry", type=str, default="50x100",
                     help="HxW of client frames; 50x100 = pre-cropped, "
@@ -154,9 +256,21 @@ def main():
                       "geometry": [75, h, w],
                       "max_batch": args.max_batch,
                       "max_wait_ms": args.max_wait_ms}), flush=True)
-    reader = build_reader("int8" if args.int8 else None, args.tmpdir)
     rng = np.random.default_rng(2)
     clips = [rng.integers(0, 255, (75, h, w), np.uint8) for _ in range(4)]
+    if args.service == "sync":
+        scorer = build_scorer(args.tmpdir)
+        res = run_sync_sweep(scorer, clips, args.clients, args.n,
+                             args.max_batch, args.max_wait_ms)
+        if len(res) > 1:
+            print(json.dumps({
+                "summary": "sync_daemon_scaling",
+                "speedup_max_vs_1_client":
+                    round(res[-1]["requests_per_sec"]
+                          / res[0]["requests_per_sec"], 2),
+            }), flush=True)
+        return
+    reader = build_reader("int8" if args.int8 else None, args.tmpdir)
     by_transport = {}
     for transport in args.transports:
         res = run_sweep(reader, transport, clips, args.clients, args.n,
