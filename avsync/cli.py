@@ -624,6 +624,15 @@ def cmd_serve(args) -> int:
         scorer = SyncScoreService(
             MisalignmentScorer(args.detector_checkpoint, args.checkpoint, cfg)
         )
+    if getattr(args, "warmup", False):
+        import time as _time
+
+        t0 = _time.time()
+        transcriber.warmup()
+        if scorer is not None:
+            scorer.warmup()
+        print(f"warmup: compiled batch buckets 1..{args.max_batch} "
+              f"in {_time.time() - t0:.1f}s")
     server = AvsyncServer(
         transcriber, scorer, host=args.host, port=args.port
     )
@@ -1235,6 +1244,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="calibration scales .npz from `avsync quantize`; "
                          "without it, int8 calibrates lazily on the first "
                          "request")
+    sv.add_argument("--warmup", action="store_true",
+                    help="compile every batch bucket before binding the "
+                         "port — the first real request pays steady-state "
+                         "latency instead of the cold XLA compile")
     sv.add_argument("--transport", choices=["raw", "f32"], default="raw",
                     help="'raw' ships uint8 frames and preprocesses per "
                          "batch on device (4-12x less host<->device "

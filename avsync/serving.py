@@ -302,6 +302,34 @@ class TranscribeService:
             payload = np.asarray(self.reader._prepare(frames))
         return self.batcher.infer(payload, timeout=timeout)
 
+    def warmup(self, frames: Optional[np.ndarray] = None) -> None:
+        """Compile every batch bucket before taking traffic: one dummy (or
+        example) batch per power-of-two bucket through the infer path.
+        Call before exposing the daemon (`avsync serve --warmup`) — the
+        first REAL request then pays steady-state ms instead of the cold
+        XLA compile. Runs on the caller's thread, so call it before
+        serving starts (the batcher worker is otherwise idle)."""
+        d = self.reader.cfg.data
+        if frames is None:
+            frames = np.zeros(
+                (d.max_video_length, d.img_height, d.img_width), np.uint8
+            )
+        if self.transport == "raw":
+            parts = self.reader.prepare_raw(frames)
+        else:
+            parts = (np.asarray(self.reader._prepare(frames)),)
+        b = 1
+        while True:
+            stacked = tuple(
+                np.concatenate([p] * b, axis=0) for p in parts
+            )
+            self.batcher._infer_fn(
+                stacked if self.transport == "raw" else stacked[0]
+            )
+            if b >= self.batcher.max_batch:
+                return
+            b = min(2 * b, self.batcher.max_batch)
+
     def transcribe_path(self, video_path: str,
                         timeout: Optional[float] = None) -> str:
         from avsync.data.video import decode_video_gray
@@ -341,6 +369,27 @@ class SyncScoreService:
                      timeout: Optional[float] = None) -> np.ndarray:
         payload = self.scorer.prepare_raw(frames, audio, fps, tuple(shifts))
         return self.batcher.infer(payload, timeout=timeout)
+
+    def warmup(self, shifts=(0,)) -> None:
+        """Compile every batch bucket of the fused scorer before traffic.
+        The program is per (bucket, len(shifts), geometry); pass the shift
+        count clients will use (e.g. the demo's single shift 0)."""
+        cfg = self.scorer.cfg
+        d = cfg.data
+        frames = np.zeros(
+            (d.max_video_length, d.img_height, d.img_width), np.uint8
+        )
+        audio = np.zeros(1024, np.float32)
+        parts = self.scorer.prepare_raw(frames, audio, 25.0, tuple(shifts))
+        b = 1
+        while True:
+            stacked = tuple(
+                np.concatenate([p] * b, axis=0) for p in parts
+            )
+            self.scorer.score_payload_batch(stacked)
+            if b >= self.batcher.max_batch:
+                return
+            b = min(2 * b, self.batcher.max_batch)
 
     def close(self) -> None:
         self.batcher.close()

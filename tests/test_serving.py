@@ -650,3 +650,52 @@ class TestSyncScoreBatching:
         for g, w in zip(got, want):
             np.testing.assert_allclose(g, w, atol=1e-5)
         assert svc.stats.requests == 3
+
+
+class TestWarmup:
+    def test_transcribe_warmup_then_request(self, checkpoints):
+        from avsync.predictor import LipReader
+        from avsync.serving import TranscribeService
+
+        reader = LipReader(checkpoints["lipnet"], TINY)
+        svc = TranscribeService(reader, max_batch=4, max_wait_ms=5.0)
+        try:
+            svc.warmup()
+            # warmup never counts as traffic
+            assert svc.stats.requests == 0
+            rng = np.random.default_rng(30)
+            frames = rng.integers(0, 255, (8, 16, 32), np.uint8)
+            assert (svc.transcribe_frames(frames, timeout=60.0)
+                    == reader.predict_frames(frames))
+        finally:
+            svc.close()
+
+    def test_sync_warmup_then_request(self, checkpoints):
+        from avsync.predictor import MisalignmentScorer
+        from avsync.serving import SyncScoreService
+
+        scorer = MisalignmentScorer(checkpoints["detector"],
+                                    checkpoints["lipnet"], TINY)
+        svc = SyncScoreService(scorer, max_batch=4, max_wait_ms=5.0)
+        try:
+            svc.warmup(shifts=(0, 2))
+            assert svc.stats.requests == 0
+            rng = np.random.default_rng(31)
+            frames = rng.integers(0, 255, (8, 16, 32), np.uint8)
+            audio = rng.standard_normal(4000).astype(np.float32) * 0.2
+            got = svc.score_arrays(frames, audio, 25.0, shifts=(0, 2),
+                                   timeout=60.0)
+            np.testing.assert_allclose(
+                got, scorer.score_arrays(frames, audio, 25.0, (0, 2)),
+                atol=1e-5,
+            )
+        finally:
+            svc.close()
+
+    def test_serve_warmup_flag_parses(self):
+        from avsync.cli import build_parser
+
+        args = build_parser().parse_args(
+            ["serve", "--checkpoint", "x.pth", "--warmup"]
+        )
+        assert args.warmup is True
