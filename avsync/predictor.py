@@ -348,20 +348,32 @@ class LipReader:
         return self.predict_frames(frames)
 
     def predict_batch(self, video_paths: Sequence[str]) -> List[str]:
-        """Batched serving path: decode all clips on host, one jitted
-        forward + batched greedy decode on device (compiled once per batch
-        size/geometry)."""
+        """Batched serving path: decode all clips on host, ONE uint8
+        upload + batched device preprocess + one jitted forward + batched
+        greedy decode (compiled once per batch size/geometry). Clips with
+        mismatched geometries fall back to per-clip preprocess."""
         from avsync.data.video import decode_video_gray
 
-        clips = []
+        rows = []
         for p in video_paths:
             frames = decode_video_gray(
                 p, max_frames=self.cfg.data.max_video_length
             )
             if frames.size == 0:
                 raise ValueError(f"no frames decoded from {p}")
-            clips.append(self._prepare(frames))
-        return self._decode(self._logprobs(jnp.concatenate(clips, axis=0)))
+            rows.append((frames, self.prepare_raw(frames)))
+        keys = {tuple((p.shape, str(p.dtype)) for p in r) for _, r in rows}
+        if len(keys) == 1:
+            stacked = tuple(
+                np.concatenate([r[j] for _, r in rows], axis=0)
+                for j in range(len(rows[0][1]))
+            )
+            clips = self.preprocess_device(*stacked)
+        else:
+            clips = jnp.concatenate(
+                [self._prepare(f) for f, _ in rows], axis=0
+            )
+        return self._decode(self._logprobs(clips))
 
 
 class MisalignmentScorer:

@@ -215,3 +215,26 @@ class TestMisalignmentScorer:
             scorer.detector.apply({"params": scorer.det_params}, feats)
         ))
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestPredictBatch:
+    def test_matches_per_clip_predict(self, checkpoints, tmp_path):
+        reader = LipReader(checkpoints["lipnet"], TINY)
+        rng = np.random.default_rng(7)
+        paths = []
+        for i in range(3):
+            p = str(tmp_path / f"clip{i}.npy")
+            np.save(p, rng.integers(0, 255, (8, 16, 32), np.uint8))
+            paths.append(p)
+        assert reader.predict_batch(paths) == [reader.predict(p)
+                                               for p in paths]
+
+    def test_mixed_geometry_falls_back_per_clip(self, checkpoints, tmp_path):
+        reader = LipReader(checkpoints["lipnet"], TINY)
+        rng = np.random.default_rng(8)
+        a = str(tmp_path / "native.npy")
+        np.save(a, rng.integers(0, 255, (8, 64, 128), np.uint8))
+        b = str(tmp_path / "cropped.npy")
+        np.save(b, rng.integers(0, 255, (8, 16, 32), np.uint8))
+        assert reader.predict_batch([a, b]) == [reader.predict(a),
+                                                reader.predict(b)]
