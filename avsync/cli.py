@@ -1123,6 +1123,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "fewer bytes than full frames); for thin-link "
                              "deployments — same program as the device "
                              "path, CPU backend")
+        sp.add_argument("--distributed", action="store_true",
+                        help="join a multi-controller (multi-host pod) run: "
+                             "calls jax.distributed.initialize() before any "
+                             "backend use (cluster env autodetected — TPU "
+                             "pod metadata / SLURM). Run the SAME command "
+                             "on every host; the mesh then spans all hosts' "
+                             "devices (avsync.parallel.multihost)")
         perf(sp)
 
     def perf(sp):
@@ -1308,6 +1315,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+    if getattr(args, "distributed", False):
+        # must precede any JAX backend use (including the compile cache,
+        # which touches the backend to name its directory)
+        from avsync.parallel.multihost import initialize
+
+        idx = initialize()
+        print(f"multi-controller: process {idx}", flush=True)
     # Persist compiled XLA executables across CLI invocations: at small
     # corpus scale compilation IS the wall-clock (see utils/compile_cache.py)
     from avsync.utils.compile_cache import enable_persistent_cache

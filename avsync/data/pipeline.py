@@ -224,9 +224,10 @@ class LipNetBatcher:
         args = (raw,) if boxes is None else (raw, np.asarray(boxes, np.float32))
         if self.mesh is not None:
             from avsync.parallel import batch_sharding
+            from avsync.parallel.multihost import put_with_sharding
 
             sh = batch_sharding(self.mesh)
-            args = tuple(jax.device_put(a, sh) for a in args)
+            args = tuple(put_with_sharding(a, sh) for a in args)
         return fn(*args)
 
     def _host_roi_enabled(self) -> bool:

@@ -15,6 +15,7 @@ from avsync.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from avsync.parallel import multihost
 
 __all__ = [
     "make_mesh",
@@ -23,4 +24,5 @@ __all__ = [
     "shard_batch",
     "lipnet_param_spec",
     "param_sharding",
+    "multihost",
 ]

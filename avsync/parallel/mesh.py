@@ -86,9 +86,14 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Place a host batch pytree onto the mesh, sharded over 'data'."""
+    """Place a host batch pytree onto the mesh, sharded over 'data'.
+
+    Multi-controller safe: when the mesh spans processes, each process
+    uploads only its own rows (see parallel.multihost.put_with_sharding)."""
+    from avsync.parallel.multihost import put_with_sharding
+
     s = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    return jax.tree.map(lambda x: put_with_sharding(x, s), batch)
 
 
 # ---------------------------------------------------------------------------

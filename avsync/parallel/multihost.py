@@ -1,0 +1,116 @@
+"""Multi-host (multi-controller) execution support.
+
+The reference is strictly single-process, single-device (`main.py:9-14`;
+no NCCL/MPI/torch.distributed anywhere — SURVEY §2.4). TPU pods beyond one
+host are multi-controller by construction: every host runs the SAME Python
+program, owns a subset of the chips, and jitted programs execute SPMD over
+the global `jax.sharding.Mesh` with XLA collectives riding ICI/DCN. This
+module is the thin seam that makes the rest of avsync (trainers, batcher,
+mesh helpers) work unchanged in that regime:
+
+  * `initialize()` — wraps `jax.distributed.initialize`, plus the config
+    knobs needed to SIMULATE a multi-host topology with several CPU
+    processes on one machine (how tests/test_multihost.py exercises this
+    without a pod: 2 processes x 4 virtual CPU devices = 8-device mesh,
+    gloo collectives).
+  * `put_with_sharding(x, sharding)` — the one primitive the framework
+    needs: place a host value onto a (possibly non-addressable) sharding.
+    Single-process it is exactly `jax.device_put`. Multi-process, `x` must
+    be the FULL logical value on every process (each host runs identical
+    data code — the batcher's epoch order is a seeded permutation, so this
+    holds by construction); each process extracts and uploads only the
+    shards its own devices own, and the global `jax.Array` is assembled
+    with `make_array_from_single_device_arrays`. No contiguity or layout
+    assumption: the sharding's own index map decides what is local.
+
+Host-side input work is intentionally duplicated across processes in this
+first regime (every host decodes the full global batch and keeps its rows).
+That is the correct trade at avsync's batch sizes — decode is threaded and
+cheap next to the step, and from epoch 2 the device cache removes host work
+entirely — and it keeps batch contents bit-identical to single-host runs.
+A per-host source shard (each host decoding only its rows) is a pure
+optimization on top of this seam, not a correctness change.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+__all__ = [
+    "initialize",
+    "is_multiprocess",
+    "put_with_sharding",
+]
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    simulate_cpu_devices: Optional[int] = None,
+) -> int:
+    """Join (or start) a multi-controller run. Returns this process's index.
+
+    On a real TPU pod all arguments are optional — `jax.distributed` reads
+    the cluster environment (TPU metadata, SLURM, etc.). For CPU simulation
+    pass all three plus `simulate_cpu_devices` (virtual CPU devices per
+    process); collectives then run over gloo. Must be called before any JAX
+    backend use (the session preloads jax, so we use jax.config.update, not
+    env vars — see tests/conftest.py for the same trap).
+    """
+    if simulate_cpu_devices is not None:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", int(simulate_cpu_devices))
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    try:
+        jax.distributed.initialize(**kwargs)
+    except ValueError as e:
+        raise ValueError(
+            "jax.distributed could not autodetect a cluster (TPU pod "
+            "metadata / SLURM). Either run on a pod, or pass "
+            "coordinator_address/num_processes/process_id explicitly "
+            f"(avsync.parallel.multihost.initialize). Original error: {e}"
+        ) from e
+    return jax.process_index()
+
+
+def is_multiprocess() -> bool:
+    return jax.process_count() > 1
+
+
+def put_with_sharding(x: Any, sharding) -> jax.Array:
+    """Place host value `x` onto `sharding`, multi-controller-safe.
+
+    Single-process (or a sharding whose devices are all local): plain
+    `jax.device_put`. Multi-process: `x` is the full logical value on every
+    process; upload only the addressable shards and assemble the global
+    array. Works for any PartitionSpec — replicated params, 'data'-sharded
+    batches, 'model'-sharded tensor-parallel columns — because the
+    sharding's `addressable_devices_indices_map` is the source of truth.
+    """
+    if getattr(sharding, "is_fully_addressable", True):
+        return jax.device_put(x, sharding)
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        # already a global array (e.g. the batcher's device-preprocessed
+        # video, sharded by the preprocess jit's out_shardings) — it cannot
+        # be fetched to host, and it does not need to be: jit consumes it
+        # directly (resharding on the same mesh if specs differ)
+        return x
+    x = np.asarray(x)
+    shards = [
+        jax.device_put(x[idx], d)
+        for d, idx in sharding.addressable_devices_indices_map(
+            x.shape
+        ).items()
+    ]
+    return jax.make_array_from_single_device_arrays(x.shape, sharding, shards)

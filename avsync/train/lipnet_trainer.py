@@ -184,8 +184,13 @@ class LipNetTrainer:
         return self.shard_state(state)
 
     def shard_state(self, state: TrainState) -> TrainState:
+        # put_with_sharding == device_put single-process; multi-controller it
+        # uploads each process's addressable shards only (params/opt values
+        # are identical on every host: same seed, same init program).
+        from avsync.parallel.multihost import put_with_sharding as _put
+
         pshard = meshlib.param_sharding(self.mesh, state.params)
-        params = jax.tree.map(jax.device_put, state.params, pshard)
+        params = jax.tree.map(_put, state.params, pshard)
         # Adam moments are param-shaped pytrees — they follow the param
         # shardings exactly (tensor-parallel columns included); counters and
         # everything else replicate.
@@ -194,11 +199,11 @@ class LipNetTrainer:
         def put_opt(sub):
             if isinstance(sub, optax.ScaleByAdamState):
                 return optax.ScaleByAdamState(
-                    count=jax.device_put(sub.count, rep),
-                    mu=jax.tree.map(jax.device_put, sub.mu, pshard),
-                    nu=jax.tree.map(jax.device_put, sub.nu, pshard),
+                    count=_put(sub.count, rep),
+                    mu=jax.tree.map(_put, sub.mu, pshard),
+                    nu=jax.tree.map(_put, sub.nu, pshard),
                 )
-            return jax.tree.map(lambda x: jax.device_put(x, rep), sub)
+            return jax.tree.map(lambda x: _put(x, rep), sub)
 
         is_plain_tuple = isinstance(state.opt_state, tuple) and not hasattr(
             state.opt_state, "_fields"

@@ -1,0 +1,89 @@
+"""Worker for tests/test_multihost.py — one multi-controller process.
+
+Run as:  python tests/_multihost_worker.py <proc_id> <nproc> <port> <corpus>
+
+Each process simulates one "host" of a pod: 4 virtual CPU devices, gloo
+collectives, global 8-device ('data','model') mesh. It trains the tiny
+LipNet for two epochs in both pipeline modes and prints one JSON line of
+losses; the test compares them against an in-process single-controller run
+of the same `run_losses` (bit-for-bit identical host code path — the
+multi-controller seam is only WHERE each array's shards upload from).
+"""
+
+import json
+import sys
+
+
+def run_losses(corpus: str, mode: str) -> list:
+    """Two training epochs over the synthetic corpus; returns epoch losses.
+
+    mode='stream': host decode -> H2D -> device preprocess each batch.
+    mode='cache':  device-resident epoch cache ('on') — epoch 1 builds it,
+                   epoch 2 is pure on-device gathers.
+    """
+    import numpy as np
+
+    from avsync.config import AvsyncConfig, DataConfig, ModelConfig, TrainConfig
+    from avsync.data import GridDataSource, LipNetBatcher
+    from avsync.parallel import make_mesh
+    from avsync.train import LipNetTrainer
+    from avsync.utils.logging import Logger
+
+    cfg = AvsyncConfig(
+        model=ModelConfig(
+            vocab_size=39, hidden_dim=8,
+            conv_channels=(2, 3, 4),
+            conv_kernels=((3, 5, 5), (3, 5, 5), (3, 3, 3)),
+        ),
+        data=DataConfig(
+            data_path=corpus, batch_size=8,
+            img_width=32, img_height=16, max_video_length=24,
+            # labels must stay CTC-feasible at T=24 (zero_infinity would
+            # silently zero the loss otherwise)
+            max_label_length=12,
+            device_cache="on" if mode == "cache" else "off",
+        ),
+        train=TrainConfig(learning_rate=1e-3, seed=7),
+    )
+    src = GridDataSource(corpus)
+    mesh = make_mesh((-1, 1))
+    batcher = LipNetBatcher(src, cfg, mesh=mesh)
+    trainer = LipNetTrainer(cfg, mesh=mesh, log=Logger(None, console=False))
+    state = trainer.init_state(batcher.first_batch())
+    losses = []
+    for epoch in range(2):
+        state, loss = trainer.train_epoch(
+            state, batcher.epoch(shuffle=True, seed=epoch)
+        )
+        losses.append(float(loss))
+    del state
+    return [round(x, 6) for x in np.asarray(losses).tolist()]
+
+
+def main() -> None:
+    proc_id, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    corpus = sys.argv[4]
+
+    from avsync.parallel import multihost
+
+    multihost.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nproc,
+        process_id=proc_id,
+        simulate_cpu_devices=4,
+    )
+    import jax
+
+    assert jax.device_count() == 4 * nproc, jax.devices()
+    assert multihost.is_multiprocess() == (nproc > 1)
+    out = {
+        "process": proc_id,
+        "devices": jax.device_count(),
+        "stream": run_losses(corpus, "stream"),
+        "cache": run_losses(corpus, "cache"),
+    }
+    print("RESULT " + json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,103 @@
+"""Multi-controller (multi-host) training tests.
+
+Simulates a 2-host pod on this machine: two OS processes, each with 4
+virtual CPU devices, joined via jax.distributed + gloo collectives into one
+global 8-device mesh. Both processes run the identical training program
+(tests/_multihost_worker.py); the test asserts
+
+  * both processes report the SAME losses (the SPMD program is coherent
+    across controllers), and
+  * those losses match a single-controller 8-device run of the same
+    `run_losses` helper in this pytest session (the multi-host seam —
+    parallel.multihost.put_with_sharding — changes where shards upload
+    from, not the math), for both the streamed pipeline and the
+    device-resident epoch cache.
+
+The reference has no distributed execution at all (`main.py:9-14`, no
+NCCL/MPI — SURVEY §2.4); this is the TPU-native scale-out path a real pod
+deployment uses (multi-controller JAX, one process per host).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from avsync.data import synthetic
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "_multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("mh_corpus"))
+    synthetic.write_corpus(
+        root, n_speakers=2, clips_per_speaker=8, preprocessed=True,
+        n_frames=24, height=16, width=32, seed=11, with_audio=False,
+    )
+    return root
+
+
+@pytest.fixture(scope="module")
+def worker_results(corpus):
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # worker sets platform via jax.config
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(i), "2", str(port), corpus],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, env=env, cwd=REPO,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert line, f"no RESULT line:\n{out}\n{err[-2000:]}"
+        outs.append(json.loads(line[-1][len("RESULT "):]))
+    return outs
+
+
+class TestMultihost:
+    def test_processes_agree(self, worker_results):
+        a, b = worker_results
+        assert a["devices"] == b["devices"] == 8
+        assert a["stream"] == b["stream"]
+        assert a["cache"] == b["cache"]
+
+    @pytest.mark.parametrize("mode", ["stream", "cache"])
+    def test_matches_single_controller(self, worker_results, corpus, mode):
+        sys.path.insert(0, os.path.join(REPO, "tests"))
+        try:
+            import _multihost_worker as w
+        finally:
+            sys.path.pop(0)
+        single = w.run_losses(corpus, mode)
+        multi = worker_results[0][mode]
+        assert len(single) == len(multi) == 2
+        # gloo all-reduce may order the 2-process gradient reduction
+        # differently from the single-process psum — tiny f32 tolerance
+        np.testing.assert_allclose(multi, single, rtol=2e-4, atol=1e-5)
+
+    def test_cache_epoch2_matches_stream(self, worker_results):
+        # within the multi-controller run, the cached pipeline must be
+        # training the same model as the streamed one (same batches)
+        a = worker_results[0]
+        np.testing.assert_allclose(
+            a["cache"], a["stream"], rtol=2e-4, atol=1e-5
+        )
