@@ -173,6 +173,7 @@ class LipNetBatcher:
         self._detector = None
         self._localizer_params = None
         self._host_roi_cache: Dict = {}  # per-geometry CPU-backend ROI jits
+        self._local_rows_cache: Dict = {}  # multihost: per-B local row sets
         if config.data.roi_mode == "detector":
             from avsync.data.mouth import MouthDetector
 
@@ -271,6 +272,31 @@ class LipNetBatcher:
             self._host_roi_cache[key] = fn
         with jax.default_device(jax.devices("cpu")[0]):
             return np.asarray(fn(raw))
+
+    def _local_rows(self, B: int):
+        """Rows of a (B, ...) 'data'-sharded batch owned by THIS process's
+        devices, or None when every row is local (single-process).
+
+        Multi-controller optimization: each host decodes only the rows its
+        own devices will hold — put_with_sharding uploads exactly these —
+        so per-host decode work is 1/P of the global batch instead of
+        duplicated P times. Contents are unchanged (non-local rows are
+        never read anywhere)."""
+        import jax as _jax
+
+        if self.mesh is None or _jax.process_count() == 1:
+            return None
+        rows = self._local_rows_cache.get(B)
+        if rows is None:
+            from avsync.parallel import batch_sharding
+
+            sh = batch_sharding(self.mesh)
+            owned = np.zeros(B, bool)
+            for index in sh.addressable_devices_indices_map((B,)).values():
+                owned[index[0]] = True
+            rows = np.where(owned)[0]
+            self._local_rows_cache[B] = rows
+        return rows
 
     def _decode_clip(self, video_path: str) -> np.ndarray:
         d = self.cfg.data
@@ -673,16 +699,25 @@ class LipNetBatcher:
                     # decode in a thread pool (np.load / the native ingest
                     # release the GIL during I/O; the reference used
                     # DataLoader(num_workers=4), `main.py:133`)
-                    raws = np.stack(
-                        list(
-                            pool.map(
-                                lambda j: self._decode_clip(
-                                    self.source.samples[j].video_path
-                                ),
-                                idx,
-                            )
+                    local = self._local_rows(B)
+                    if local is not None and local.size == 0:
+                        local = np.array([0])  # shape donor; rows unused
+                    decode_rows = idx if local is None else idx[local]
+                    decoded = list(pool.map(
+                        lambda j: self._decode_clip(
+                            self.source.samples[j].video_path
+                        ),
+                        decode_rows,
+                    ))
+                    if local is None:
+                        raws = np.stack(decoded)
+                    else:  # multihost: non-local rows stay zero — only
+                        # this process's rows upload (put_with_sharding)
+                        raws = np.zeros(
+                            (B,) + decoded[0].shape, np.uint8
                         )
-                    )
+                        for k, r in zip(local, decoded):
+                            raws[k] = r
                     if self._host_roi_enabled() and raws.shape[2:] != (
                         d.img_height, d.img_width,
                     ):

@@ -302,12 +302,18 @@ class LipNetTrainer:
         `plan` comes from LipNetBatcher.scan_plan."""
         import jax.numpy as jnp
 
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from avsync.parallel.multihost import put_with_sharding
+
         lr = np.float32(self.current_lr)
         step0 = int(state.step)
         prog = self._scan_program(plan["gather"])
+        data_sh = meshlib.batch_sharding(self.mesh)
+        plan_sh = NamedSharding(self.mesh, PartitionSpec(None, *data_sh.spec))
         state, losses, gnorms = prog(
             state, plan["video"], plan["labels"], plan["lengths"],
-            jnp.asarray(plan["idx"]), self.rng, lr,
+            put_with_sharding(np.asarray(plan["idx"]), plan_sh), self.rng, lr,
         )
         losses = np.asarray(losses)  # the epoch-end device sync
         if metrics_writer is not None:

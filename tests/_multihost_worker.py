@@ -60,6 +60,68 @@ def run_losses(corpus: str, mode: str) -> list:
     return [round(x, 6) for x in np.asarray(losses).tolist()]
 
 
+def run_scan_losses(corpus: str, ckpt_dir: str = None) -> tuple:
+    """Two whole-epoch-scanned training epochs (full device cache, one
+    dispatch per epoch) + an Orbax checkpoint save/restore roundtrip.
+    Returns (losses, roundtrip_max_abs_err)."""
+    import jax
+    import numpy as np
+
+    from avsync.config import AvsyncConfig, DataConfig, ModelConfig, TrainConfig
+    from avsync.data import GridDataSource, LipNetBatcher
+    from avsync.parallel import make_mesh
+    from avsync.train import LipNetTrainer
+    from avsync.utils.logging import Logger
+
+    cfg = AvsyncConfig(
+        model=ModelConfig(
+            vocab_size=39, hidden_dim=8,
+            conv_channels=(2, 3, 4),
+            conv_kernels=((3, 5, 5), (3, 5, 5), (3, 3, 3)),
+        ),
+        data=DataConfig(
+            data_path=corpus, batch_size=8,
+            img_width=32, img_height=16, max_video_length=24,
+            max_label_length=12, device_cache="on",
+        ),
+        train=TrainConfig(learning_rate=1e-3, seed=7),
+    )
+    src = GridDataSource(corpus)
+    mesh = make_mesh((-1, 1))
+    batcher = LipNetBatcher(src, cfg, mesh=mesh)
+    trainer = LipNetTrainer(cfg, mesh=mesh, log=Logger(None, console=False))
+    state = trainer.init_state(batcher.first_batch())
+    losses = []
+    for epoch in range(2):
+        plan = batcher.scan_plan(shuffle=True, seed=epoch)
+        assert plan is not None, "full cache expected -> scan plan"
+        state, loss = trainer.train_epoch_scanned(state, plan)
+        losses.append(float(loss))
+
+    err = -1.0
+    if ckpt_dir is not None:
+        from avsync.utils.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(ckpt_dir)
+        mgr.save(1, {"params": state.params}, config=cfg)
+        restored, _ = mgr.restore(1, template={"params": state.params})
+        diffs = jax.tree.map(
+            lambda a, b: float(
+                jnp_abs_max(np.asarray(a, np.float64), np.asarray(b))
+            ),
+            restored["params"], state.params,
+        )
+        err = max(jax.tree.leaves(diffs))
+        mgr.close()
+    return [round(x, 6) for x in losses], err
+
+
+def jnp_abs_max(a, b):
+    import numpy as np
+
+    return np.max(np.abs(a - np.asarray(b, np.float64)))
+
+
 def main() -> None:
     proc_id, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     corpus = sys.argv[4]
@@ -76,11 +138,14 @@ def main() -> None:
 
     assert jax.device_count() == 4 * nproc, jax.devices()
     assert multihost.is_multiprocess() == (nproc > 1)
+    scan_losses, ckpt_err = run_scan_losses(corpus, ckpt_dir=corpus + "_ckpt")
     out = {
         "process": proc_id,
         "devices": jax.device_count(),
         "stream": run_losses(corpus, "stream"),
         "cache": run_losses(corpus, "cache"),
+        "scan": scan_losses,
+        "ckpt_err": ckpt_err,
     }
     print("RESULT " + json.dumps(out), flush=True)
 

@@ -79,6 +79,18 @@ class TestMultihost:
         assert a["devices"] == b["devices"] == 8
         assert a["stream"] == b["stream"]
         assert a["cache"] == b["cache"]
+        assert a["scan"] == b["scan"]
+
+    def test_scan_epoch_and_checkpoint_roundtrip(self, worker_results, corpus):
+        """Whole-epoch scanned training (one dispatch per epoch) works
+        multi-controller, and an Orbax save/restore roundtrips exactly."""
+        a, b = worker_results
+        # the scanned program is the same math as the per-batch loop
+        np.testing.assert_allclose(
+            a["scan"], a["stream"], rtol=2e-4, atol=1e-5
+        )
+        assert a["ckpt_err"] == 0.0, a["ckpt_err"]
+        assert b["ckpt_err"] == 0.0, b["ckpt_err"]
 
     @pytest.mark.parametrize("mode", ["stream", "cache"])
     def test_matches_single_controller(self, worker_results, corpus, mode):
