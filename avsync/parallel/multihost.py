@@ -28,8 +28,15 @@ first regime (every host decodes the full global batch and keeps its rows).
 That is the correct trade at avsync's batch sizes — decode is threaded and
 cheap next to the step, and from epoch 2 the device cache removes host work
 entirely — and it keeps batch contents bit-identical to single-host runs.
-A per-host source shard (each host decoding only its rows) is a pure
-optimization on top of this seam, not a correctness change.
+Scope: LipNet training (streamed, device-cached, and whole-epoch-scanned)
+and Orbax checkpointing are multi-controller ready (tests/test_multihost.py
+runs all of them on a simulated 2-process pod). The misalignment-detector
+pipeline assumes a single controller: its whole working set (a ~180 MB
+feature bank at the reference's production scale) fits one host and its
+AUROC evaluation fetches per-sample probabilities to the host — sharding it
+across hosts would add collectives to save nothing. Per-host input decode
+IS sharded (LipNetBatcher._local_rows): each host decodes only the rows its
+own devices hold.
 """
 
 from __future__ import annotations
