@@ -408,11 +408,33 @@ class LipNetTrainer:
         the history JSON (`train.py:769-771`).
         """
         import json as jsonlib
+        import signal
 
         cfg = self.config.train
         epochs = epochs if epochs is not None else cfg.epochs
         ckpt_dir = checkpoint_dir or cfg.checkpoint_dir
         ckpt = CheckpointManager(ckpt_dir)
+
+        # Graceful preemption (TPU pods evict with SIGTERM + a grace
+        # window): finish the in-flight epoch, checkpoint, and return — the
+        # next invocation resumes with --resume. Handlers are restored on
+        # exit; installation is skipped off the main thread (signal.signal
+        # raises there — e.g. trainers driven from a serving thread).
+        self._preempted = False
+
+        def _on_term(signum, frame):
+            self._preempted = True
+            self.log.log(
+                f"signal {signum}: checkpointing at the next epoch boundary"
+            )
+
+        prev_handlers = {}
+        try:
+            prev_handlers[signal.SIGTERM] = signal.signal(
+                signal.SIGTERM, _on_term
+            )
+        except ValueError:
+            pass
 
         tb_train = tb_val = None
         if cfg.tensorboard:
@@ -449,64 +471,86 @@ class LipNetTrainer:
         t0 = time.time()
         best_val, best_snapshot, stall = float("inf"), None, 0
         final_epoch = 0
-        for epoch in range(1, epochs + 1):
-            final_epoch = epoch
-            if lr_schedule is not None:
-                self.current_lr = float(lr_schedule(epoch - 1, self.current_lr))
-            te = time.time()
-            # the loader fn may return a whole-epoch scan plan (a dict from
-            # LipNetBatcher.scan_plan — fully device-cached corpora) instead
-            # of a host-batch iterable
-            src = train_loader_fn()
-            if isinstance(src, dict) and "idx" in src:
-                state, train_loss = self.train_epoch_scanned(state, src)
-            else:
-                state, train_loss = self.train_epoch(state, src)
-            val_loss = self.validate(state, val_loader_fn())
-            self.train_losses.append(train_loss)
-            self.val_losses.append(val_loss)
-            self.lr_history.append(self.current_lr)
-            self.log.log(
-                f"Epoch {epoch}/{epochs} | train_loss={train_loss:.4f} "
-                f"val_loss={val_loss:.4f} | lr={self.current_lr:.2e} | "
-                f"time={format_time(time.time() - te)}"
-            )
-            if tb_train is not None:
-                tb_train.add_scalar("epoch_loss", train_loss, epoch)
-                tb_train.add_scalar("epoch_lr", self.current_lr, epoch)
-                tb_train.flush()
-                tb_val.add_scalar("epoch_loss", val_loss, epoch)
-                tb_val.flush()
-            if example_fn is not None:
-                example_fn(state, epoch)
-            if epoch % cfg.checkpoint_every == 0:
-                ckpt.save(
-                    epoch,
-                    jax.device_get(state),
-                    config=self.config,
-                    metrics={"train_loss": train_loss, "val_loss": val_loss},
-                )
-                self.log.log(f"Saved checkpoint: epoch_{epoch}")
-            if early_stopping_patience is not None:
-                if val_loss < best_val:
-                    best_val, stall = val_loss, 0
-                    best_snapshot = jax.device_get(state)
+        try:
+            for epoch in range(1, epochs + 1):
+                if self._preempted:
+                    break
+                final_epoch = epoch
+                if lr_schedule is not None:
+                    self.current_lr = float(
+                        lr_schedule(epoch - 1, self.current_lr)
+                    )
+                te = time.time()
+                # the loader fn may return a whole-epoch scan plan (a dict
+                # from LipNetBatcher.scan_plan — fully device-cached
+                # corpora) instead of a host-batch iterable
+                src = train_loader_fn()
+                if isinstance(src, dict) and "idx" in src:
+                    state, train_loss = self.train_epoch_scanned(state, src)
                 else:
-                    stall += 1
-                    if stall >= early_stopping_patience:
-                        self.log.log(
-                            f"Early stopping at epoch {epoch} "
-                            f"(no val improvement for {stall} epochs); "
-                            "restoring best weights"
-                        )
-                        state = self.shard_state(
-                            TrainState(*best_snapshot)
-                        )
-                        break
+                    state, train_loss = self.train_epoch(state, src)
+                if self._preempted:
+                    # skip validation — spend the grace window on the
+                    # snapshot (written by the final save below)
+                    self.train_losses.append(train_loss)
+                    self.log.log(
+                        f"Preempted during epoch {epoch} "
+                        f"(train_loss={train_loss:.4f}); checkpointing"
+                    )
+                    break
+                val_loss = self.validate(state, val_loader_fn())
+                self.train_losses.append(train_loss)
+                self.val_losses.append(val_loss)
+                self.lr_history.append(self.current_lr)
+                self.log.log(
+                    f"Epoch {epoch}/{epochs} | train_loss={train_loss:.4f} "
+                    f"val_loss={val_loss:.4f} | lr={self.current_lr:.2e} | "
+                    f"time={format_time(time.time() - te)}"
+                )
+                if tb_train is not None:
+                    tb_train.add_scalar("epoch_loss", train_loss, epoch)
+                    tb_train.add_scalar("epoch_lr", self.current_lr, epoch)
+                    tb_train.flush()
+                    tb_val.add_scalar("epoch_loss", val_loss, epoch)
+                    tb_val.flush()
+                if example_fn is not None:
+                    example_fn(state, epoch)
+                if epoch % cfg.checkpoint_every == 0:
+                    ckpt.save(
+                        epoch,
+                        jax.device_get(state),
+                        config=self.config,
+                        metrics={
+                            "train_loss": train_loss, "val_loss": val_loss,
+                        },
+                    )
+                    self.log.log(f"Saved checkpoint: epoch_{epoch}")
+                if early_stopping_patience is not None:
+                    if val_loss < best_val:
+                        best_val, stall = val_loss, 0
+                        best_snapshot = jax.device_get(state)
+                    else:
+                        stall += 1
+                        if stall >= early_stopping_patience:
+                            self.log.log(
+                                f"Early stopping at epoch {epoch} "
+                                f"(no val improvement for {stall} epochs); "
+                                "restoring best weights"
+                            )
+                            state = self.shard_state(
+                                TrainState(*best_snapshot)
+                            )
+                            break
+        finally:
+            for sig, handler in prev_handlers.items():
+                signal.signal(sig, handler)
 
         # Final snapshot labeled one past the epoch actually reached (early
         # stopping included), not past the requested epoch count.
-        ckpt.save(final_epoch + 1, jax.device_get(state), config=self.config)
+        ckpt.save(
+            final_epoch + 1, jax.device_get(state), config=self.config,
+            metrics={"preempted": True} if self._preempted else None,
+        )
         ckpt.close()
         if tb_train is not None:
             tb_train.close()

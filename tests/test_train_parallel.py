@@ -258,3 +258,75 @@ class TestTrainerLoop:
         import os
 
         assert os.path.exists(out)
+
+    def test_sigterm_preemption_checkpoints_and_stops(self, tmp_path):
+        """SIGTERM mid-run (TPU pod eviction) finishes the in-flight epoch,
+        writes the resume snapshot, restores the prior handler, and
+        returns — instead of dying ungracefully."""
+        import os
+        import signal
+
+        cfg = tiny_config()
+        trainer = LipNetTrainer(
+            cfg, mesh=make_mesh((8, 1)), log=Logger(None, console=False)
+        )
+        before = signal.getsignal(signal.SIGTERM)
+
+        def preempt_at_2(state, epoch):
+            if epoch == 2:
+                os.kill(os.getpid(), signal.SIGTERM)
+
+        state = trainer.train(
+            loader_fn(0),
+            loader_fn(1),
+            epochs=50,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            example_fn=preempt_at_2,
+        )
+        # stopped right after epoch 2, long before 50
+        assert len(trainer.train_losses) == 2
+        assert signal.getsignal(signal.SIGTERM) == before  # restored
+        ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+        assert ckpt.latest_step() == 3  # resume point: one past epoch 2
+        _, meta = ckpt.restore(3, template=jax.device_get(state))
+        assert meta["metrics"]["preempted"] == 1.0
+        ckpt.close()
+
+    def test_sigterm_mid_epoch_skips_validation(self, tmp_path):
+        """A signal landing DURING an epoch checkpoints at its end without
+        running validation (the grace window goes to the snapshot)."""
+        import os
+        import signal
+
+        cfg = tiny_config()
+        trainer = LipNetTrainer(
+            cfg, mesh=make_mesh((8, 1)), log=Logger(None, console=False)
+        )
+        rng = np.random.default_rng(0)
+        batches = [synth_batch(rng) for _ in range(2)]
+
+        hit = {"n": 0}
+
+        def batches_then_signal():
+            for i, b in enumerate(batches):
+                if hit["n"] == 1 and i == 1:  # second epoch, second batch
+                    os.kill(os.getpid(), signal.SIGTERM)
+                yield b
+            hit["n"] += 1
+
+        def fail_if_validated():
+            if hit["n"] >= 2:
+                raise AssertionError("validation ran after preemption")
+            return iter(batches)
+
+        state = trainer.train(
+            batches_then_signal,
+            fail_if_validated,
+            epochs=50,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        assert len(trainer.train_losses) == 2  # epoch 2 loss still recorded
+        assert len(trainer.val_losses) == 1  # but epoch 2 never validated
+        ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+        assert ckpt.latest_step() == 3
+        ckpt.close()
