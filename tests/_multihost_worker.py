@@ -14,12 +14,17 @@ import json
 import sys
 
 
-def run_losses(corpus: str, mode: str) -> list:
+def run_losses(corpus: str, mode: str, mesh_shape=(-1, 1)) -> list:
     """Two training epochs over the synthetic corpus; returns epoch losses.
 
     mode='stream': host decode -> H2D -> device preprocess each batch.
     mode='cache':  device-resident epoch cache ('on') — epoch 1 builds it,
                    epoch 2 is pure on-device gathers.
+    mesh_shape=(4, 2) runs dp x tp — with 2 processes x 4 devices each
+    tensor-parallel pair sits inside one host (the realistic pod layout:
+    'model' collectives ride intra-host links) while the 'data' axis spans
+    both hosts, so TP param placement (put_with_sharding slicing the gate
+    columns per device) and cross-host gradient reduce compose.
     """
     import numpy as np
 
@@ -46,7 +51,7 @@ def run_losses(corpus: str, mode: str) -> list:
         train=TrainConfig(learning_rate=1e-3, seed=7),
     )
     src = GridDataSource(corpus)
-    mesh = make_mesh((-1, 1))
+    mesh = make_mesh(mesh_shape)
     batcher = LipNetBatcher(src, cfg, mesh=mesh)
     trainer = LipNetTrainer(cfg, mesh=mesh, log=Logger(None, console=False))
     state = trainer.init_state(batcher.first_batch())
@@ -144,6 +149,7 @@ def main() -> None:
         "devices": jax.device_count(),
         "stream": run_losses(corpus, "stream"),
         "cache": run_losses(corpus, "cache"),
+        "tp": run_losses(corpus, "stream", mesh_shape=(4, 2)),
         "scan": scan_losses,
         "ckpt_err": ckpt_err,
     }

@@ -80,6 +80,14 @@ class TestMultihost:
         assert a["stream"] == b["stream"]
         assert a["cache"] == b["cache"]
         assert a["scan"] == b["scan"]
+        assert a["tp"] == b["tp"]
+
+    def test_dp_tp_mesh_multihost(self, worker_results):
+        """The (4,2) dp x tp mesh trains multi-controller: TP pairs inside a
+        host, 'data' spanning hosts — losses match the DP-8 run (the sharded
+        computation is the same math; gate columns merely split)."""
+        a = worker_results[0]
+        np.testing.assert_allclose(a["tp"], a["stream"], rtol=2e-4, atol=1e-5)
 
     def test_scan_epoch_and_checkpoint_roundtrip(self, worker_results, corpus):
         """Whole-epoch scanned training (one dispatch per epoch) works
