@@ -1194,9 +1194,12 @@ def build_parser() -> argparse.ArgumentParser:
     te.add_argument("--batch_size", type=int, default=None)
     te.add_argument("--output", type=str, default=None)
     te.add_argument("--quantize", choices=["int8"], default=None,
-                    help="serve the conv stack in int8 on the MXU "
+                    help="serve the conv stack in int8 "
                          "(avsync/ops/quant.py; calibrated on the first "
-                         "eval batch; both model families)")
+                         "eval batch; both model families). NOTE: measured "
+                         "SLOWER than the default bf16+pack4 path on v5e "
+                         "(XLA's s8 conv lowering — PERF.md); for "
+                         "int8-mandated deployments, not a speed knob")
     te.add_argument("--beam", type=int, default=0,
                     help="CTC beam width (0 = greedy, the reference decode)")
     te.set_defaults(fn=cmd_test)
