@@ -1319,6 +1319,15 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     if getattr(args, "distributed", False):
+        if args.command != "train":
+            print(
+                "ERROR: --distributed supports the 'train' subcommand only "
+                "— the misalignment pipeline, eval and serving are "
+                "single-controller by design (see "
+                "avsync/parallel/multihost.py scope note)",
+                file=sys.stderr,
+            )
+            return 2
         # must precede any JAX backend use (including the compile cache,
         # which touches the backend to name its directory)
         from avsync.parallel.multihost import initialize

@@ -722,15 +722,37 @@ class LipNetBatcher:
                         d.img_height, d.img_width,
                     ):
                         # full frames never leave the host: localize+crop
-                        # here (CPU backend), ship uint8 crops
-                        raws = self._host_roi(raws)
+                        # here (CPU backend), ship uint8 crops. Multihost:
+                        # crop only this process's rows — running the ROI
+                        # program over the zero-filled non-local rows would
+                        # make per-host work O(B) again.
+                        if local is None:
+                            raws = self._host_roi(raws)
+                        else:
+                            crops = self._host_roi(raws[local])
+                            out = np.zeros(
+                                (B,) + crops.shape[1:], crops.dtype
+                            )
+                            out[local] = crops
+                            raws = out
                     boxes = None
                     if self._detector is not None and raws.shape[2:] != (
                         d.img_height, d.img_width,
                     ):
-                        boxes = np.stack(
-                            [self._detector.detect_clip(clip) for clip in raws]
+                        det_rows = (
+                            list(range(len(raws))) if local is None
+                            else list(local)
+                        )  # cascade only over rows that carry content
+                        det = {
+                            k: self._detector.detect_clip(raws[k])
+                            for k in det_rows
+                        }
+                        shape0 = next(iter(det.values())).shape
+                        boxes = np.zeros(
+                            (len(raws),) + shape0, np.float32
                         )
+                        for k, b in det.items():
+                            boxes[k] = b
                     labels, lengths = self.source.labels_batch(
                         list(idx), d.max_label_length,
                         vocab=self.cfg.model.family,

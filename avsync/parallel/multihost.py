@@ -23,11 +23,6 @@ mesh helpers) work unchanged in that regime:
     with `make_array_from_single_device_arrays`. No contiguity or layout
     assumption: the sharding's own index map decides what is local.
 
-Host-side input work is intentionally duplicated across processes in this
-first regime (every host decodes the full global batch and keeps its rows).
-That is the correct trade at avsync's batch sizes — decode is threaded and
-cheap next to the step, and from epoch 2 the device cache removes host work
-entirely — and it keeps batch contents bit-identical to single-host runs.
 Scope: LipNet training (streamed, device-cached, and whole-epoch-scanned)
 and Orbax checkpointing are multi-controller ready (tests/test_multihost.py
 runs all of them on a simulated 2-process pod). The misalignment-detector
@@ -50,6 +45,8 @@ __all__ = [
     "initialize",
     "is_multiprocess",
     "put_with_sharding",
+    "get_global",
+    "any_process_flagged",
 ]
 
 
@@ -72,6 +69,15 @@ def initialize(
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", int(simulate_cpu_devices))
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    explicit = (coordinator_address, num_processes, process_id)
+    if any(a is not None for a in explicit) and any(
+        a is None for a in explicit
+    ):
+        raise ValueError(
+            "pass coordinator_address, num_processes and process_id "
+            "together (got a partial set — jax.distributed cannot mix "
+            "explicit and autodetected cluster parameters)"
+        )
     kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(
@@ -121,3 +127,56 @@ def put_with_sharding(x: Any, sharding) -> jax.Array:
         ).items()
     ]
     return jax.make_array_from_single_device_arrays(x.shape, sharding, shards)
+
+
+def get_global(tree: Any, mesh) -> Any:
+    """Fetch a pytree of (possibly sharded) global arrays to host numpy.
+
+    Single-process this is `jax.device_get`. Multi-controller, leaves that
+    are sharded over non-addressable devices (e.g. tensor-parallel gate
+    columns) cannot be fetched directly — they are first all-gathered to a
+    fully-replicated layout by an identity jit, then read from the local
+    replica. Every process receives the full value (checkpointing and
+    best-snapshot paths need it everywhere)."""
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    rep = NamedSharding(mesh, PartitionSpec())
+
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            if not x.is_fully_replicated:
+                x = jax.jit(lambda v: v, out_shardings=rep)(x)
+        return jax.device_get(x)
+
+    return jax.tree.map(fetch, tree)
+
+
+def any_process_flagged(flag: bool, mesh) -> bool:
+    """True iff ANY process passes flag=True — a lockstep cross-host vote.
+
+    For control-flow decisions that every host must take identically (e.g.
+    'stop training now' on preemption): a process-local flag lets hosts
+    diverge — the signaled one exits the epoch loop while another enters
+    the next collective and deadlocks. All processes call this at the same
+    boundary; the vote is a tiny max-reduce over a per-device array (each
+    process contributes its flag on its own devices), so every process
+    returns the same answer. Single-process it is just `flag`."""
+    if jax.process_count() == 1:
+        return bool(flag)
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    import jax.numpy as jnp
+
+    devs = list(mesh.devices.reshape(-1))
+    mine = [d for d in devs if d.process_index == jax.process_index()]
+    flat = Mesh(np.asarray(devs), ("all",))
+    sh = NamedSharding(flat, PartitionSpec("all"))
+    votes = jax.make_array_from_single_device_arrays(
+        (len(devs),), sh,
+        [jax.device_put(np.asarray([np.float32(flag)]), d) for d in mine],
+    )
+    rep = NamedSharding(flat, PartitionSpec())
+    flagged = jax.jit(lambda v: jnp.max(v), out_shardings=rep)(votes)
+    return bool(float(flagged) >= 0.5)

@@ -410,6 +410,8 @@ class LipNetTrainer:
         import json as jsonlib
         import signal
 
+        from avsync.parallel.multihost import get_global as _get_global
+
         cfg = self.config.train
         epochs = epochs if epochs is not None else cfg.epochs
         ckpt_dir = checkpoint_dir or cfg.checkpoint_dir
@@ -418,15 +420,32 @@ class LipNetTrainer:
         # Graceful preemption (TPU pods evict with SIGTERM + a grace
         # window): finish the in-flight epoch, checkpoint, and return — the
         # next invocation resumes with --resume. Handlers are restored on
-        # exit; installation is skipped off the main thread (signal.signal
-        # raises there — e.g. trainers driven from a serving thread).
+        # exit (AFTER the final save — repeated SIGTERMs during the grace
+        # window must not kill the snapshot write); installation is skipped
+        # off the main thread (signal.signal raises there — e.g. trainers
+        # driven from a serving thread).
         self._preempted = False
+        stop_logged = [False]
 
         def _on_term(signum, frame):
+            # flag only: logging from a handler can hit a reentrant
+            # BufferedWriter write and crash the run it should be saving
             self._preempted = True
-            self.log.log(
-                f"signal {signum}: checkpointing at the next epoch boundary"
-            )
+
+        def _stop_now() -> bool:
+            # In a multi-controller run the stop decision must be taken in
+            # LOCKSTEP — a process-local flag lets the signaled host exit
+            # the loop while another enters the next collective and
+            # deadlocks, burning the grace window with no snapshot.
+            from avsync.parallel.multihost import any_process_flagged
+
+            stop = any_process_flagged(self._preempted, self.mesh)
+            if stop and not stop_logged[0]:
+                stop_logged[0] = True
+                self.log.log(
+                    "preemption signal observed: checkpointing and stopping"
+                )
+            return stop
 
         prev_handlers = {}
         try:
@@ -473,7 +492,7 @@ class LipNetTrainer:
         final_epoch = 0
         try:
             for epoch in range(1, epochs + 1):
-                if self._preempted:
+                if _stop_now():
                     break
                 final_epoch = epoch
                 if lr_schedule is not None:
@@ -489,7 +508,7 @@ class LipNetTrainer:
                     state, train_loss = self.train_epoch_scanned(state, src)
                 else:
                     state, train_loss = self.train_epoch(state, src)
-                if self._preempted:
+                if _stop_now():
                     # skip validation — spend the grace window on the
                     # snapshot (written by the final save below)
                     self.train_losses.append(train_loss)
@@ -518,7 +537,7 @@ class LipNetTrainer:
                 if epoch % cfg.checkpoint_every == 0:
                     ckpt.save(
                         epoch,
-                        jax.device_get(state),
+                        _get_global(state, self.mesh),
                         config=self.config,
                         metrics={
                             "train_loss": train_loss, "val_loss": val_loss,
@@ -528,7 +547,7 @@ class LipNetTrainer:
                 if early_stopping_patience is not None:
                     if val_loss < best_val:
                         best_val, stall = val_loss, 0
-                        best_snapshot = jax.device_get(state)
+                        best_snapshot = _get_global(state, self.mesh)
                     else:
                         stall += 1
                         if stall >= early_stopping_patience:
@@ -541,17 +560,21 @@ class LipNetTrainer:
                                 TrainState(*best_snapshot)
                             )
                             break
+            # Final snapshot labeled one past the epoch actually reached
+            # (early stopping included), not past the requested epoch
+            # count. Inside the handler scope: a repeated SIGTERM during
+            # this grace-window save must set the flag, not kill the write.
+            # marker uses the AGREED decision (stop_logged), not the local
+            # flag — processes must write identical metadata
+            ckpt.save(
+                final_epoch + 1, _get_global(state, self.mesh),
+                config=self.config,
+                metrics={"preempted": True} if stop_logged[0] else None,
+            )
+            ckpt.close()
         finally:
             for sig, handler in prev_handlers.items():
                 signal.signal(sig, handler)
-
-        # Final snapshot labeled one past the epoch actually reached (early
-        # stopping included), not past the requested epoch count.
-        ckpt.save(
-            final_epoch + 1, jax.device_get(state), config=self.config,
-            metrics={"preempted": True} if self._preempted else None,
-        )
-        ckpt.close()
         if tb_train is not None:
             tb_train.close()
             tb_val.close()

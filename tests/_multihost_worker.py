@@ -127,6 +127,62 @@ def jnp_abs_max(a, b):
     return np.max(np.abs(a - np.asarray(b, np.float64)))
 
 
+def run_preempt(corpus: str, proc_id: int, ckpt_dir: str) -> dict:
+    """Preemption drill on a dp x tp mesh: ONLY process 0 receives SIGTERM
+    (mid-run skew — the worst case for a process-local stop flag). The
+    lockstep vote must stop BOTH processes at the same epoch boundary, and
+    the final checkpoint must save the tensor-parallel (non-addressable)
+    params via multihost.get_global without deadlock."""
+    import os
+    import signal
+
+    from avsync.config import AvsyncConfig, DataConfig, ModelConfig, TrainConfig
+    from avsync.data import GridDataSource, LipNetBatcher
+    from avsync.parallel import make_mesh
+    from avsync.train import LipNetTrainer
+    from avsync.utils.checkpoint import CheckpointManager
+    from avsync.utils.logging import Logger
+
+    cfg = AvsyncConfig(
+        model=ModelConfig(
+            vocab_size=39, hidden_dim=8,
+            conv_channels=(2, 3, 4),
+            conv_kernels=((3, 5, 5), (3, 5, 5), (3, 3, 3)),
+        ),
+        data=DataConfig(
+            data_path=corpus, batch_size=8,
+            img_width=32, img_height=16, max_video_length=24,
+            max_label_length=12, device_cache="off",
+        ),
+        train=TrainConfig(learning_rate=1e-3, seed=7, checkpoint_every=100),
+    )
+    src = GridDataSource(corpus)
+    mesh = make_mesh((4, 2))
+    batcher = LipNetBatcher(src, cfg, mesh=mesh)
+    trainer = LipNetTrainer(cfg, mesh=mesh, log=Logger(None, console=False))
+
+    def signal_proc0_at_2(state, epoch):
+        if epoch == 2 and proc_id == 0:
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    trainer.train(
+        lambda: batcher.epoch(shuffle=True, seed=0),
+        lambda: batcher.epoch(shuffle=False, seed=0),
+        epochs=30,
+        checkpoint_dir=ckpt_dir,
+        example_fn=signal_proc0_at_2,
+    )
+    mgr = CheckpointManager(ckpt_dir)
+    latest = int(mgr.latest_step())
+    _, meta = mgr.restore(latest)
+    mgr.close()
+    return {
+        "epochs_run": len(trainer.train_losses),
+        "ckpt_latest": latest,
+        "preempted_meta": float(meta.get("metrics", {}).get("preempted", 0)),
+    }
+
+
 def main() -> None:
     proc_id, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     corpus = sys.argv[4]
@@ -152,6 +208,7 @@ def main() -> None:
         "tp": run_losses(corpus, "stream", mesh_shape=(4, 2)),
         "scan": scan_losses,
         "ckpt_err": ckpt_err,
+        "preempt": run_preempt(corpus, proc_id, corpus + "_preempt_ckpt"),
     }
     print("RESULT " + json.dumps(out), flush=True)
 

@@ -114,6 +114,17 @@ class TestMultihost:
         # differently from the single-process psum — tiny f32 tolerance
         np.testing.assert_allclose(multi, single, rtol=2e-4, atol=1e-5)
 
+    def test_preemption_is_lockstep_across_processes(self, worker_results):
+        """Only process 0 is SIGTERMed mid-run (worst-case skew on a dp x tp
+        mesh); the cross-host vote must stop BOTH processes at the same
+        epoch boundary and save the TP-sharded state without deadlock."""
+        a, b = worker_results
+        assert a["preempt"] == b["preempt"], (a["preempt"], b["preempt"])
+        # signaled during epoch 2's example_fn -> both stop entering epoch 3
+        assert a["preempt"]["epochs_run"] == 2
+        assert a["preempt"]["ckpt_latest"] == 3
+        assert a["preempt"]["preempted_meta"] == 1.0
+
     def test_cache_epoch2_matches_stream(self, worker_results):
         # within the multi-controller run, the cached pipeline must be
         # training the same model as the streamed one (same batches)
