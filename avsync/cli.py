@@ -330,20 +330,32 @@ def cmd_train(args) -> int:
         lr_schedule = keras_lr_schedule
 
     resume_state = None
-    if args.resume:
+    resume_dir = args.resume
+    if resume_dir == "auto":
+        # relaunch-the-same-command convenience for preemption loops: pick
+        # up from checkpoint_dir if it has snapshots, else train fresh
+        from avsync.utils.checkpoint import CheckpointManager
+
+        probe = CheckpointManager(cfg.train.checkpoint_dir)
+        has_steps = probe.latest_step() is not None
+        probe.close()
+        resume_dir = cfg.train.checkpoint_dir if has_steps else None
+        if resume_dir is None:
+            print("resume=auto: no snapshots yet — starting fresh")
+    if resume_dir:
         from avsync.train.lipnet_trainer import TrainState
         from avsync.utils.checkpoint import CheckpointManager
 
         first = batchers["train"].first_batch()
         template = jax.device_get(trainer.init_state(first))
-        ckpt = CheckpointManager(args.resume)
+        ckpt = CheckpointManager(resume_dir)
         restored, _meta = ckpt.restore(template=template)
         ckpt.close()
         resume_state = trainer.shard_state(
             TrainState(restored.params, restored.opt_state, restored.step)
         )
         print(
-            f"Resumed from {args.resume} at step "
+            f"Resumed from {resume_dir} at step "
             f"{int(np.asarray(restored.step))}"
         )
 
@@ -1172,7 +1184,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="patience in epochs; restores best weights")
     t.add_argument("--resume", type=str, default=None,
                    help="Orbax checkpoint dir to resume training from "
-                        "(restores params+optimizer+step)")
+                        "(restores params+optimizer+step), or 'auto' to "
+                        "pick up from --checkpoint_dir when it has "
+                        "snapshots (preemption relaunch loops)")
     t.add_argument("--log_dir", type=str, default=None,
                    help="log directory (default 'logs', or the --config value)")
     t.add_argument("--checkpoint_every", type=int, default=None,

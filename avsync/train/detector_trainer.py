@@ -322,43 +322,76 @@ class DetectorTrainer:
         (`misalignment_detection_train.py:418-444`) and periodic snapshots:
         every `save_every` epochs, `save_fn(state, epoch)` is invoked (the
         `--save_every` checkpoints at `:437-440`)."""
+        import signal
+
         det = self.config.detector
         epochs = epochs or det.epochs
         feature_dim = bank.visual.shape[1] + 2 * self.config.audio.n_mfcc
         state = self.init_state(feature_dim)
         best_params, best_auc = None, -1.0
         t0 = time.time()
-        for epoch in range(1, epochs + 1):
-            te = time.time()
-            state, tr = self.run_epoch(
-                state, bank, train_videos, seed=self.config.train.seed + epoch
-            )
-            _, va = self.run_epoch(
-                state, val_bank, val_videos,
-                seed=self.config.train.seed + 10_000 + epoch, train=False,
-            )
-            self.log.log(
-                f"Epoch {epoch:02d}/{epochs} | "
-                f"train_loss={tr['loss']:.4f} train_acc={tr['acc']:.3f} | "
-                f"val_loss={va['loss']:.4f} val_acc={va['acc']:.3f} "
-                f"val_auc={va['auc']:.3f} | time={time.time() - te:.1f}s"
-            )
-            # >= (not >): ties go to the LATEST epoch. The reference's
-            # `best_state = model.state_dict()` (:432) aliases the live
-            # tensors — never deep-copied — so its final `load_state_dict`
-            # restores nothing and the last epoch's weights ship. Val AUC
-            # saturates at 1.0 within a few epochs here, so strict `>` would
-            # freeze a just-saturated (undertrained) model: measured AUROC
-            # 0.75 vs 1.0 at 1-frame shifts. Latest-tie selection keeps true
-            # best-val semantics while matching the reference's effective
-            # operating point.
-            if not np.isnan(va["auc"]) and va["auc"] >= best_auc:
-                best_auc = va["auc"]
-                best_params = jax.device_get(state.params)
-                self.log.log(f"  -> New best model (val_auc={best_auc:.3f})")
-            if save_every and save_fn and epoch % save_every == 0:
-                save_fn(state, epoch)
-                self.log.log(f"  -> Checkpoint saved: epoch {epoch}")
+        # Graceful preemption, as in LipNetTrainer.train: the handler only
+        # sets a flag (no logging — reentrant BufferedWriter hazard); the
+        # epoch boundary snapshots and stops. Single-controller by scope
+        # (parallel/multihost.py), so a plain flag suffices — no vote.
+        self._preempted = False
+
+        def _on_term(signum, frame):
+            self._preempted = True
+
+        try:
+            prev_term = signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:  # not the main thread
+            prev_term = None
+        try:
+            for epoch in range(1, epochs + 1):
+                te = time.time()
+                state, tr = self.run_epoch(
+                    state, bank, train_videos,
+                    seed=self.config.train.seed + epoch,
+                )
+                _, va = self.run_epoch(
+                    state, val_bank, val_videos,
+                    seed=self.config.train.seed + 10_000 + epoch, train=False,
+                )
+                self.log.log(
+                    f"Epoch {epoch:02d}/{epochs} | "
+                    f"train_loss={tr['loss']:.4f} train_acc={tr['acc']:.3f} | "
+                    f"val_loss={va['loss']:.4f} val_acc={va['acc']:.3f} "
+                    f"val_auc={va['auc']:.3f} | time={time.time() - te:.1f}s"
+                )
+                # >= (not >): ties go to the LATEST epoch. The reference's
+                # `best_state = model.state_dict()` (:432) aliases the live
+                # tensors — never deep-copied — so its final
+                # `load_state_dict` restores nothing and the last epoch's
+                # weights ship. Val AUC saturates at 1.0 within a few
+                # epochs here, so strict `>` would freeze a just-saturated
+                # (undertrained) model: measured AUROC 0.75 vs 1.0 at
+                # 1-frame shifts. Latest-tie selection keeps true best-val
+                # semantics while matching the reference's effective
+                # operating point.
+                if not np.isnan(va["auc"]) and va["auc"] >= best_auc:
+                    best_auc = va["auc"]
+                    best_params = jax.device_get(state.params)
+                    self.log.log(
+                        f"  -> New best model (val_auc={best_auc:.3f})"
+                    )
+                saved = False
+                if save_every and save_fn and epoch % save_every == 0:
+                    save_fn(state, epoch)
+                    self.log.log(f"  -> Checkpoint saved: epoch {epoch}")
+                    saved = True
+                if self._preempted:
+                    self.log.log(
+                        f"preemption signal observed after epoch {epoch}: "
+                        "snapshotting and stopping"
+                    )
+                    if save_fn and not saved:
+                        save_fn(state, epoch)
+                    break
+        finally:
+            if prev_term is not None:
+                signal.signal(signal.SIGTERM, prev_term)
         if best_params is not None:
             state = DetectorState(
                 jax.tree.map(jnp.asarray, best_params), state.opt_state, state.step

@@ -233,10 +233,16 @@ def detector_benchmark(n_videos: int = 512) -> dict:
     return {
         "detector_train_samples_per_sec_per_chip": round(train_rate, 2),
         "detector_sweep_clips_per_sec_per_chip": round(sweep_rate, 2),
+        # denominator: the unmodified reference detector loop on this
+        # host's CPU averaged ~39 samples/s over its full production run
+        # (3,300 clips x 20 epochs = 2,676 s; BASELINE.md production table)
+        "detector_train_vs_reference_cpu": round(train_rate / 39.0, 1),
         "detector_note": "production operating point (hidden 512, batch 64, "
                          "±20-frame shifts); shift->MFCC->stats + MLP fully "
                          "on device over a FeatureBank of "
-                         f"{n_videos} videos",
+                         f"{n_videos} videos; vs_reference denominator = "
+                         "39 samples/s (reference production run, "
+                         "BASELINE.md)",
     }
 
 

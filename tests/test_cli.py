@@ -156,6 +156,31 @@ class TestResumeAndFamily:
         step = int(np.asarray(jax.device_get(raw["step"])))
         assert step == 4, f"expected 2 epochs x 2 steps, got {step}"
 
+    def test_train_resume_auto_cli(self, workdir, capsys):
+        """--resume auto: fresh dir starts fresh, a relaunch of the SAME
+        command picks up from checkpoint_dir (preemption relaunch loops)."""
+        import jax
+
+        from avsync.utils.checkpoint import CheckpointManager
+
+        ckpt_dir = os.path.join(workdir["root"], "autoresume_ckpts")
+        cmd = [
+            "train", "--data_path", workdir["corpus"],
+            "--config", workdir["cfg_path"],
+            "--epochs", "1", "--checkpoint_dir", ckpt_dir,
+            "--resume", "auto",
+        ]
+        assert run_cli(cmd) == 0
+        assert "starting fresh" in capsys.readouterr().out
+        assert run_cli(cmd) == 0
+        assert "Resumed from" in capsys.readouterr().out
+
+        ckpt = CheckpointManager(ckpt_dir)
+        raw = ckpt.restore()[0]
+        ckpt.close()
+        step = int(np.asarray(jax.device_get(raw["step"])))
+        assert step == 4, f"expected 2 epochs x 2 steps, got {step}"
+
     def test_tf_family_train_and_eval(self, workdir, tmp_path, capsys):
         """--model_family tf end-to-end on a tiny TF config: the evaluation
         must decode with the blank-last 32-way vocabulary (a pytorch-vocab

@@ -305,3 +305,42 @@ class TestModelSelection:
             f"{float(np.asarray(leaf).ravel()[0])}"
         )
         assert summary["best_val_auc"] == 1.0
+
+
+class TestDetectorPreemption:
+    def test_sigterm_snapshots_and_stops(self):
+        """SIGTERM mid-run stops the detector loop at the epoch boundary
+        after snapshotting via save_fn (mirrors LipNetTrainer's graceful
+        preemption; single-controller scope, so a plain flag suffices)."""
+        import os
+        import signal
+
+        cfg = AvsyncConfig(
+            model=TINY,
+            detector=DetectorConfig(hidden_dim=8, epochs=30, batch_size=4),
+        )
+        trainer = DetectorTrainer(cfg, log=Logger(None, console=False))
+        calls = {"train": 0}
+        before = signal.getsignal(signal.SIGTERM)
+
+        def scripted_run_epoch(state, bank, n_videos, seed, train=True,
+                               batch_size=None):
+            if train:
+                calls["train"] += 1
+                if calls["train"] == 2:
+                    os.kill(os.getpid(), signal.SIGTERM)
+            return state, {"loss": 0.0, "acc": 1.0, "auc": 1.0,
+                           "labels": np.ones(2), "probs": np.ones(2)}
+
+        trainer.run_epoch = scripted_run_epoch
+        state0 = trainer.init_state(feature_dim=6)
+        trainer.init_state = lambda feature_dim: state0
+        bank = type("B", (), {"visual": np.zeros((2, 2))})
+        saves = []
+        trainer.train(
+            bank, 2, bank, 2, epochs=30,
+            save_fn=lambda st, ep: saves.append(ep),
+        )
+        assert calls["train"] == 2  # stopped at the boundary, not epoch 30
+        assert saves == [2]  # snapshot written despite no save_every
+        assert signal.getsignal(signal.SIGTERM) == before  # restored
