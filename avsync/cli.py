@@ -384,6 +384,7 @@ def cmd_train(args) -> int:
         early_stopping_patience=args.early_stopping,
         example_fn=example_fn,
         history_path=os.path.join(cfg.train.checkpoint_dir, "history.json"),
+        profile_dir=args.profile_dir,
     )
     trainer.plot_losses(os.path.join(cfg.train.checkpoint_dir, "training_history.png"))
 
@@ -1187,6 +1188,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(restores params+optimizer+step), or 'auto' to "
                         "pick up from --checkpoint_dir when it has "
                         "snapshots (preemption relaunch loops)")
+    t.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of the FIRST epoch "
+                        "into this directory (TensorBoard profile plugin)")
     t.add_argument("--log_dir", type=str, default=None,
                    help="log directory (default 'logs', or the --config value)")
     t.add_argument("--checkpoint_every", type=int, default=None,

@@ -395,6 +395,7 @@ class LipNetTrainer:
         early_stopping_patience: Optional[int] = None,
         example_fn: Optional[Callable[[TrainState, int], None]] = None,
         history_path: Optional[str] = None,
+        profile_dir: Optional[str] = None,
     ) -> TrainState:
         """Full training run. Loader fns are called per epoch (fresh iterators).
 
@@ -504,7 +505,21 @@ class LipNetTrainer:
                 # from LipNetBatcher.scan_plan — fully device-cached
                 # corpora) instead of a host-batch iterable
                 src = train_loader_fn()
-                if isinstance(src, dict) and "idx" in src:
+                if profile_dir is not None and epoch == 1:
+                    # trace the first epoch only (compile + steady steps —
+                    # what a perf investigation needs; whole-run traces are
+                    # gigabytes). TensorBoard's profile plugin reads it.
+                    from avsync.utils.profiling import trace
+
+                    with trace(profile_dir):
+                        if isinstance(src, dict) and "idx" in src:
+                            state, train_loss = self.train_epoch_scanned(
+                                state, src
+                            )
+                        else:
+                            state, train_loss = self.train_epoch(state, src)
+                    self.log.log(f"profiler trace -> {profile_dir}")
+                elif isinstance(src, dict) and "idx" in src:
                     state, train_loss = self.train_epoch_scanned(state, src)
                 else:
                     state, train_loss = self.train_epoch(state, src)

@@ -330,3 +330,23 @@ class TestTrainerLoop:
         ckpt = CheckpointManager(str(tmp_path / "ckpt"))
         assert ckpt.latest_step() == 3
         ckpt.close()
+
+    def test_profile_dir_captures_first_epoch_trace(self, tmp_path):
+        """--profile_dir plumbing: the first epoch runs under jax.profiler
+        and leaves a TensorBoard-profile-plugin-loadable trace."""
+        import glob
+        import os
+
+        cfg = tiny_config()
+        trainer = LipNetTrainer(
+            cfg, mesh=make_mesh((8, 1)), log=Logger(None, console=False)
+        )
+        prof = str(tmp_path / "prof")
+        trainer.train(
+            loader_fn(0), loader_fn(1), epochs=2,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            profile_dir=prof,
+        )
+        assert glob.glob(os.path.join(prof, "plugins", "profile", "*", "*")), (
+            "no profiler artifacts written"
+        )
