@@ -330,6 +330,7 @@ def cmd_train(args) -> int:
         lr_schedule = keras_lr_schedule
 
     resume_state = None
+    start_epoch = 0
     resume_dir = args.resume
     if resume_dir == "auto":
         # relaunch-the-same-command convenience for preemption loops: pick
@@ -354,10 +355,17 @@ def cmd_train(args) -> int:
         resume_state = trainer.shard_state(
             TrainState(restored.params, restored.opt_state, restored.step)
         )
-        print(
-            f"Resumed from {resume_dir} at step "
-            f"{int(np.asarray(restored.step))}"
-        )
+        step0 = int(np.asarray(restored.step))
+        if args.resume == "auto":
+            # relaunch-same-command semantics: --epochs is a TOTAL budget,
+            # so credit the epochs already completed (steps/epoch is fixed:
+            # drop_last batching) — each preemption relaunch then converges
+            # on the same budget instead of adding a fresh one
+            steps_per_epoch = max(
+                1, len(sources["train"]) // cfg.data.batch_size
+            )
+            start_epoch = min(step0 // steps_per_epoch, cfg.train.epochs)
+        print(f"Resumed from {resume_dir} at step {step0}")
 
     # Fresh shuffle order per epoch (reference DataLoader(shuffle=True)
     # semantics) — with drop_last batching a fixed seed would also exclude
@@ -385,6 +393,7 @@ def cmd_train(args) -> int:
         example_fn=example_fn,
         history_path=os.path.join(cfg.train.checkpoint_dir, "history.json"),
         profile_dir=args.profile_dir,
+        start_epoch=start_epoch,
     )
     trainer.plot_losses(os.path.join(cfg.train.checkpoint_dir, "training_history.png"))
 
@@ -1187,7 +1196,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Orbax checkpoint dir to resume training from "
                         "(restores params+optimizer+step), or 'auto' to "
                         "pick up from --checkpoint_dir when it has "
-                        "snapshots (preemption relaunch loops)")
+                        "snapshots (preemption relaunch loops; --epochs "
+                        "then counts as a TOTAL budget across relaunches)")
     t.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of the FIRST epoch "
                         "into this directory (TensorBoard profile plugin)")

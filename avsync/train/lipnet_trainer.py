@@ -396,6 +396,7 @@ class LipNetTrainer:
         example_fn: Optional[Callable[[TrainState, int], None]] = None,
         history_path: Optional[str] = None,
         profile_dir: Optional[str] = None,
+        start_epoch: int = 0,
     ) -> TrainState:
         """Full training run. Loader fns are called per epoch (fresh iterators).
 
@@ -487,12 +488,21 @@ class LipNetTrainer:
                         gen.close()
             state = self.init_state(first)
 
-        self.log.log(f"Starting training for {epochs} epochs...")
+        # `epochs` is the TOTAL budget; a resumed run passes start_epoch =
+        # epochs already completed (CLI --resume auto) so relaunch loops
+        # converge instead of each relaunch adding the full budget. Epoch
+        # numbering, LR schedule and checkpoint labels stay absolute.
+        if start_epoch:
+            self.log.log(
+                f"Resuming at epoch {start_epoch + 1}/{epochs}..."
+            )
+        else:
+            self.log.log(f"Starting training for {epochs} epochs...")
         t0 = time.time()
         best_val, best_snapshot, stall = float("inf"), None, 0
-        final_epoch = 0
+        final_epoch = start_epoch
         try:
-            for epoch in range(1, epochs + 1):
+            for epoch in range(start_epoch + 1, epochs + 1):
                 if _stop_now():
                     break
                 final_epoch = epoch

@@ -157,29 +157,44 @@ class TestResumeAndFamily:
         assert step == 4, f"expected 2 epochs x 2 steps, got {step}"
 
     def test_train_resume_auto_cli(self, workdir, capsys):
-        """--resume auto: fresh dir starts fresh, a relaunch of the SAME
-        command picks up from checkpoint_dir (preemption relaunch loops)."""
+        """--resume auto: fresh dir starts fresh; relaunching the SAME
+        command picks up from checkpoint_dir AND treats --epochs as a
+        TOTAL budget (preemption relaunch loops must converge, not add a
+        fresh budget per relaunch)."""
         import jax
 
         from avsync.utils.checkpoint import CheckpointManager
 
-        ckpt_dir = os.path.join(workdir["root"], "autoresume_ckpts")
-        cmd = [
-            "train", "--data_path", workdir["corpus"],
-            "--config", workdir["cfg_path"],
-            "--epochs", "1", "--checkpoint_dir", ckpt_dir,
-            "--resume", "auto",
-        ]
-        assert run_cli(cmd) == 0
-        assert "starting fresh" in capsys.readouterr().out
-        assert run_cli(cmd) == 0
-        assert "Resumed from" in capsys.readouterr().out
+        def step_now(d):
+            ckpt = CheckpointManager(d)
+            raw = ckpt.restore()[0]
+            ckpt.close()
+            return int(np.asarray(jax.device_get(raw["step"])))
 
-        ckpt = CheckpointManager(ckpt_dir)
-        raw = ckpt.restore()[0]
-        ckpt.close()
-        step = int(np.asarray(jax.device_get(raw["step"])))
-        assert step == 4, f"expected 2 epochs x 2 steps, got {step}"
+        ckpt_dir = os.path.join(workdir["root"], "autoresume_ckpts")
+
+        def cmd(epochs):
+            return [
+                "train", "--data_path", workdir["corpus"],
+                "--config", workdir["cfg_path"],
+                "--epochs", str(epochs), "--checkpoint_dir", ckpt_dir,
+                "--resume", "auto",
+            ]
+
+        assert run_cli(cmd(1)) == 0
+        assert "starting fresh" in capsys.readouterr().out
+        assert step_now(ckpt_dir) == 2  # 1 epoch x 2 steps
+
+        # raise the budget to 2: the relaunch credits the completed epoch
+        # and runs exactly one more
+        assert run_cli(cmd(2)) == 0
+        assert "Resumed from" in capsys.readouterr().out
+        assert step_now(ckpt_dir) == 4
+
+        # budget already met: relaunch is a no-op on the step counter
+        assert run_cli(cmd(2)) == 0
+        assert "Resumed from" in capsys.readouterr().out
+        assert step_now(ckpt_dir) == 4
 
     def test_tf_family_train_and_eval(self, workdir, tmp_path, capsys):
         """--model_family tf end-to-end on a tiny TF config: the evaluation
