@@ -325,8 +325,19 @@ class LipNetTrainer:
                 )
         return state, float(losses.astype(np.float64).mean())
 
+    # How often train_epoch polls the stop_check callback (in batches).
+    # In a multi-controller run each poll is a tiny collective vote, so
+    # per-batch polling would double the dispatch count; every 16 batches
+    # bounds preemption latency to ~3 s at bench shapes while costing
+    # <1% extra dispatches.
+    PREEMPT_CHECK_EVERY = 16
+
     def train_epoch(
-        self, state: TrainState, loader: Iterable, metrics_writer=None
+        self,
+        state: TrainState,
+        loader: Iterable,
+        metrics_writer=None,
+        stop_check: Optional[Callable[[], bool]] = None,
     ) -> Tuple[TrainState, float]:
         """One pass over the loader.
 
@@ -366,6 +377,18 @@ class LipNetTrainer:
             pending[i] = None  # release the device buffers promptly
 
         for batch in loader:
+            # Mid-epoch preemption: epochs on big corpora outlast an
+            # eviction grace window; polling here lets train() stop at a
+            # batch boundary instead of an epoch boundary. All processes
+            # poll at the same batch index (lockstep — stop_check votes).
+            if (
+                stop_check is not None
+                and len(pending) % self.PREEMPT_CHECK_EVERY == 0
+                and stop_check()
+            ):
+                if hasattr(loader, "close"):
+                    loader.close()  # release the prefetch/decode workers
+                break
             state, metrics = self.compiled["train"](
                 state, self._device_batch(batch), self.rng, lr
             )
@@ -530,9 +553,13 @@ class LipNetTrainer:
                             state, train_loss = self.train_epoch(state, src)
                     self.log.log(f"profiler trace -> {profile_dir}")
                 elif isinstance(src, dict) and "idx" in src:
+                    # whole-epoch scan: ONE dispatch — cannot stop mid-
+                    # flight, but a device epoch is ~1 s at bench shapes
                     state, train_loss = self.train_epoch_scanned(state, src)
                 else:
-                    state, train_loss = self.train_epoch(state, src)
+                    state, train_loss = self.train_epoch(
+                        state, src, stop_check=_stop_now
+                    )
                 if _stop_now():
                     # skip validation — spend the grace window on the
                     # snapshot (written by the final save below)

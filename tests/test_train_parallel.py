@@ -350,3 +350,39 @@ class TestTrainerLoop:
         assert glob.glob(os.path.join(prof, "plugins", "profile", "*", "*")), (
             "no profiler artifacts written"
         )
+
+    def test_sigterm_mid_epoch_stops_at_batch_boundary(self, tmp_path):
+        """On corpora whose epochs outlast the grace window, the signal
+        stops training at the next PREEMPT_CHECK_EVERY batch boundary
+        instead of running the epoch to completion."""
+        import os
+        import signal
+
+        cfg = tiny_config()
+        trainer = LipNetTrainer(
+            cfg, mesh=make_mesh((8, 1)), log=Logger(None, console=False)
+        )
+        rng = np.random.default_rng(0)
+        batch = synth_batch(rng)
+        N = 64
+
+        def long_epoch():
+            for i in range(N):
+                if i == 20:  # mid-epoch signal
+                    os.kill(os.getpid(), signal.SIGTERM)
+                yield batch
+
+        state = trainer.train(
+            long_epoch,
+            lambda: [batch],
+            epochs=3,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        steps = int(np.asarray(jax.device_get(state.step)))
+        # signaled during batch 21 -> stopped at the 32-batch poll, long
+        # before the 64-batch epoch end (and never started epoch 2)
+        assert steps == 32, steps
+        assert len(trainer.train_losses) == 1
+        ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+        assert ckpt.latest_step() == 2  # resume point: one past epoch 1
+        ckpt.close()
