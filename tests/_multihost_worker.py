@@ -51,7 +51,14 @@ def run_losses(corpus: str, mode: str, mesh_shape=(-1, 1)) -> list:
         train=TrainConfig(learning_rate=1e-3, seed=7),
     )
     src = GridDataSource(corpus)
-    mesh = make_mesh(mesh_shape)
+    if mesh_shape == "slice":
+        # 2-level multi-slice mesh: ('slice','data','model') = (2, 4, 1) —
+        # with 2 processes each slice IS one host, the DCN-crossing layout
+        from avsync.parallel.mesh import make_hierarchical_mesh
+
+        mesh = make_hierarchical_mesh((2, 4, 1))
+    else:
+        mesh = make_mesh(mesh_shape)
     batcher = LipNetBatcher(src, cfg, mesh=mesh)
     trainer = LipNetTrainer(cfg, mesh=mesh, log=Logger(None, console=False))
     state = trainer.init_state(batcher.first_batch())
@@ -199,6 +206,11 @@ def main() -> None:
 
     assert jax.device_count() == 4 * nproc, jax.devices()
     assert multihost.is_multiprocess() == (nproc > 1)
+    # reuse compiled executables across worker invocations/processes (the
+    # jax compilation cache is multi-process safe; cuts test wall sharply)
+    from avsync.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     scan_losses, ckpt_err = run_scan_losses(corpus, ckpt_dir=corpus + "_ckpt")
     out = {
         "process": proc_id,
@@ -206,6 +218,7 @@ def main() -> None:
         "stream": run_losses(corpus, "stream"),
         "cache": run_losses(corpus, "cache"),
         "tp": run_losses(corpus, "stream", mesh_shape=(4, 2)),
+        "slice": run_losses(corpus, "stream", mesh_shape="slice"),
         "scan": scan_losses,
         "ckpt_err": ckpt_err,
         "preempt": run_preempt(corpus, proc_id, corpus + "_preempt_ckpt"),

@@ -89,6 +89,15 @@ class TestMultihost:
         a = worker_results[0]
         np.testing.assert_allclose(a["tp"], a["stream"], rtol=2e-4, atol=1e-5)
 
+    def test_hierarchical_slice_mesh_multihost(self, worker_results):
+        """The 2-level ('slice','data','model') mesh with one slice PER HOST
+        — the real multi-slice/DCN layout — matches the flat DP-8 run."""
+        a, b = worker_results
+        assert a["slice"] == b["slice"]
+        np.testing.assert_allclose(
+            a["slice"], a["stream"], rtol=2e-4, atol=1e-5
+        )
+
     def test_scan_epoch_and_checkpoint_roundtrip(self, worker_results, corpus):
         """Whole-epoch scanned training (one dispatch per epoch) works
         multi-controller, and an Orbax save/restore roundtrips exactly."""
