@@ -282,9 +282,7 @@ class LipNetBatcher:
         so per-host decode work is 1/P of the global batch instead of
         duplicated P times. Contents are unchanged (non-local rows are
         never read anywhere)."""
-        import jax as _jax
-
-        if self.mesh is None or _jax.process_count() == 1:
+        if self.mesh is None or jax.process_count() == 1:
             return None
         rows = self._local_rows_cache.get(B)
         if rows is None:

@@ -129,6 +129,13 @@ def put_with_sharding(x: Any, sharding) -> jax.Array:
     return jax.make_array_from_single_device_arrays(x.shape, sharding, shards)
 
 
+# Per-device-set program caches. A fresh `jax.jit(lambda ...)` wrapper has
+# its own trace cache, so building one per call would retrace every call —
+# and the vote runs every PREEMPT_CHECK_EVERY batches.
+_REPLICATE_CACHE: dict = {}
+_VOTE_CACHE: dict = {}
+
+
 def get_global(tree: Any, mesh) -> Any:
     """Fetch a pytree of (possibly sharded) global arrays to host numpy.
 
@@ -142,12 +149,17 @@ def get_global(tree: Any, mesh) -> Any:
         return jax.device_get(tree)
     from jax.sharding import NamedSharding, PartitionSpec
 
-    rep = NamedSharding(mesh, PartitionSpec())
+    key = (tuple(mesh.devices.reshape(-1)), mesh.axis_names)
+    replicate = _REPLICATE_CACHE.get(key)
+    if replicate is None:
+        rep = NamedSharding(mesh, PartitionSpec())
+        replicate = jax.jit(lambda v: v, out_shardings=rep)
+        _REPLICATE_CACHE[key] = replicate
 
     def fetch(x):
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
             if not x.is_fully_replicated:
-                x = jax.jit(lambda v: v, out_shardings=rep)(x)
+                x = replicate(x)
         return jax.device_get(x)
 
     return jax.tree.map(fetch, tree)
@@ -169,14 +181,19 @@ def any_process_flagged(flag: bool, mesh) -> bool:
 
     import jax.numpy as jnp
 
-    devs = list(mesh.devices.reshape(-1))
+    devs = tuple(mesh.devices.reshape(-1))
+    cached = _VOTE_CACHE.get(devs)
+    if cached is None:
+        flat = Mesh(np.asarray(devs), ("all",))
+        sh = NamedSharding(flat, PartitionSpec("all"))
+        rep = NamedSharding(flat, PartitionSpec())
+        prog = jax.jit(lambda v: jnp.max(v), out_shardings=rep)
+        cached = (sh, prog)
+        _VOTE_CACHE[devs] = cached
+    sh, prog = cached
     mine = [d for d in devs if d.process_index == jax.process_index()]
-    flat = Mesh(np.asarray(devs), ("all",))
-    sh = NamedSharding(flat, PartitionSpec("all"))
     votes = jax.make_array_from_single_device_arrays(
         (len(devs),), sh,
         [jax.device_put(np.asarray([np.float32(flag)]), d) for d in mine],
     )
-    rep = NamedSharding(flat, PartitionSpec())
-    flagged = jax.jit(lambda v: jnp.max(v), out_shardings=rep)(votes)
-    return bool(float(flagged) >= 0.5)
+    return bool(float(prog(votes)) >= 0.5)

@@ -538,6 +538,14 @@ class LipNetTrainer:
                 # from LipNetBatcher.scan_plan — fully device-cached
                 # corpora) instead of a host-batch iterable
                 src = train_loader_fn()
+
+                def run_epoch_src(st):
+                    if isinstance(src, dict) and "idx" in src:
+                        # whole-epoch scan: ONE dispatch — cannot stop mid-
+                        # flight, but a device epoch is ~1 s at bench shapes
+                        return self.train_epoch_scanned(st, src)
+                    return self.train_epoch(st, src, stop_check=_stop_now)
+
                 if profile_dir is not None and epoch == 1:
                     # trace the first epoch only (compile + steady steps —
                     # what a perf investigation needs; whole-run traces are
@@ -545,21 +553,10 @@ class LipNetTrainer:
                     from avsync.utils.profiling import trace
 
                     with trace(profile_dir):
-                        if isinstance(src, dict) and "idx" in src:
-                            state, train_loss = self.train_epoch_scanned(
-                                state, src
-                            )
-                        else:
-                            state, train_loss = self.train_epoch(state, src)
+                        state, train_loss = run_epoch_src(state)
                     self.log.log(f"profiler trace -> {profile_dir}")
-                elif isinstance(src, dict) and "idx" in src:
-                    # whole-epoch scan: ONE dispatch — cannot stop mid-
-                    # flight, but a device epoch is ~1 s at bench shapes
-                    state, train_loss = self.train_epoch_scanned(state, src)
                 else:
-                    state, train_loss = self.train_epoch(
-                        state, src, stop_check=_stop_now
-                    )
+                    state, train_loss = run_epoch_src(state)
                 if _stop_now():
                     # skip validation — spend the grace window on the
                     # snapshot (written by the final save below)

@@ -14,6 +14,26 @@ import json
 import sys
 
 
+def _tiny_cfg(corpus: str, device_cache: str, **train_kw):
+    """Shared tiny geometry for every worker scenario (labels stay
+    CTC-feasible at T=24 — zero_infinity would silently zero the loss)."""
+    from avsync.config import AvsyncConfig, DataConfig, ModelConfig, TrainConfig
+
+    return AvsyncConfig(
+        model=ModelConfig(
+            vocab_size=39, hidden_dim=8,
+            conv_channels=(2, 3, 4),
+            conv_kernels=((3, 5, 5), (3, 5, 5), (3, 3, 3)),
+        ),
+        data=DataConfig(
+            data_path=corpus, batch_size=8,
+            img_width=32, img_height=16, max_video_length=24,
+            max_label_length=12, device_cache=device_cache,
+        ),
+        train=TrainConfig(learning_rate=1e-3, seed=7, **train_kw),
+    )
+
+
 def run_losses(corpus: str, mode: str, mesh_shape=(-1, 1)) -> list:
     """Two training epochs over the synthetic corpus; returns epoch losses.
 
@@ -28,28 +48,12 @@ def run_losses(corpus: str, mode: str, mesh_shape=(-1, 1)) -> list:
     """
     import numpy as np
 
-    from avsync.config import AvsyncConfig, DataConfig, ModelConfig, TrainConfig
     from avsync.data import GridDataSource, LipNetBatcher
     from avsync.parallel import make_mesh
     from avsync.train import LipNetTrainer
     from avsync.utils.logging import Logger
 
-    cfg = AvsyncConfig(
-        model=ModelConfig(
-            vocab_size=39, hidden_dim=8,
-            conv_channels=(2, 3, 4),
-            conv_kernels=((3, 5, 5), (3, 5, 5), (3, 3, 3)),
-        ),
-        data=DataConfig(
-            data_path=corpus, batch_size=8,
-            img_width=32, img_height=16, max_video_length=24,
-            # labels must stay CTC-feasible at T=24 (zero_infinity would
-            # silently zero the loss otherwise)
-            max_label_length=12,
-            device_cache="on" if mode == "cache" else "off",
-        ),
-        train=TrainConfig(learning_rate=1e-3, seed=7),
-    )
+    cfg = _tiny_cfg(corpus, "on" if mode == "cache" else "off")
     src = GridDataSource(corpus)
     if mesh_shape == "slice":
         # 2-level multi-slice mesh: ('slice','data','model') = (2, 4, 1) —
@@ -79,25 +83,12 @@ def run_scan_losses(corpus: str, ckpt_dir: str = None) -> tuple:
     import jax
     import numpy as np
 
-    from avsync.config import AvsyncConfig, DataConfig, ModelConfig, TrainConfig
     from avsync.data import GridDataSource, LipNetBatcher
     from avsync.parallel import make_mesh
     from avsync.train import LipNetTrainer
     from avsync.utils.logging import Logger
 
-    cfg = AvsyncConfig(
-        model=ModelConfig(
-            vocab_size=39, hidden_dim=8,
-            conv_channels=(2, 3, 4),
-            conv_kernels=((3, 5, 5), (3, 5, 5), (3, 3, 3)),
-        ),
-        data=DataConfig(
-            data_path=corpus, batch_size=8,
-            img_width=32, img_height=16, max_video_length=24,
-            max_label_length=12, device_cache="on",
-        ),
-        train=TrainConfig(learning_rate=1e-3, seed=7),
-    )
+    cfg = _tiny_cfg(corpus, "on")
     src = GridDataSource(corpus)
     mesh = make_mesh((-1, 1))
     batcher = LipNetBatcher(src, cfg, mesh=mesh)
@@ -118,20 +109,14 @@ def run_scan_losses(corpus: str, ckpt_dir: str = None) -> tuple:
         mgr.save(1, {"params": state.params}, config=cfg)
         restored, _ = mgr.restore(1, template={"params": state.params})
         diffs = jax.tree.map(
-            lambda a, b: float(
-                jnp_abs_max(np.asarray(a, np.float64), np.asarray(b))
-            ),
+            lambda a, b: float(np.max(np.abs(
+                np.asarray(a, np.float64) - np.asarray(b, np.float64)
+            ))),
             restored["params"], state.params,
         )
         err = max(jax.tree.leaves(diffs))
         mgr.close()
     return [round(x, 6) for x in losses], err
-
-
-def jnp_abs_max(a, b):
-    import numpy as np
-
-    return np.max(np.abs(a - np.asarray(b, np.float64)))
 
 
 def run_preempt(corpus: str, proc_id: int, ckpt_dir: str) -> dict:
@@ -143,26 +128,13 @@ def run_preempt(corpus: str, proc_id: int, ckpt_dir: str) -> dict:
     import os
     import signal
 
-    from avsync.config import AvsyncConfig, DataConfig, ModelConfig, TrainConfig
     from avsync.data import GridDataSource, LipNetBatcher
     from avsync.parallel import make_mesh
     from avsync.train import LipNetTrainer
     from avsync.utils.checkpoint import CheckpointManager
     from avsync.utils.logging import Logger
 
-    cfg = AvsyncConfig(
-        model=ModelConfig(
-            vocab_size=39, hidden_dim=8,
-            conv_channels=(2, 3, 4),
-            conv_kernels=((3, 5, 5), (3, 5, 5), (3, 3, 3)),
-        ),
-        data=DataConfig(
-            data_path=corpus, batch_size=8,
-            img_width=32, img_height=16, max_video_length=24,
-            max_label_length=12, device_cache="off",
-        ),
-        train=TrainConfig(learning_rate=1e-3, seed=7, checkpoint_every=100),
-    )
+    cfg = _tiny_cfg(corpus, "off", checkpoint_every=100)
     src = GridDataSource(corpus)
     mesh = make_mesh((4, 2))
     batcher = LipNetBatcher(src, cfg, mesh=mesh)
