@@ -332,24 +332,27 @@ def cmd_train(args) -> int:
     resume_state = None
     start_epoch = 0
     resume_dir = args.resume
+    ckpt_mgr = None
     if resume_dir == "auto":
         # relaunch-the-same-command convenience for preemption loops: pick
         # up from checkpoint_dir if it has snapshots, else train fresh
         from avsync.utils.checkpoint import CheckpointManager
 
-        probe = CheckpointManager(cfg.train.checkpoint_dir)
-        has_steps = probe.latest_step() is not None
-        probe.close()
-        resume_dir = cfg.train.checkpoint_dir if has_steps else None
-        if resume_dir is None:
+        ckpt_mgr = CheckpointManager(cfg.train.checkpoint_dir)
+        if ckpt_mgr.latest_step() is None:
+            ckpt_mgr.close()
+            ckpt_mgr = None
+            resume_dir = None
             print("resume=auto: no snapshots yet — starting fresh")
+        else:
+            resume_dir = cfg.train.checkpoint_dir
     if resume_dir:
         from avsync.train.lipnet_trainer import TrainState
         from avsync.utils.checkpoint import CheckpointManager
 
         first = batchers["train"].first_batch()
         template = jax.device_get(trainer.init_state(first))
-        ckpt = CheckpointManager(resume_dir)
+        ckpt = ckpt_mgr or CheckpointManager(resume_dir)
         restored, _meta = ckpt.restore(template=template)
         ckpt.close()
         resume_state = trainer.shard_state(
@@ -358,21 +361,30 @@ def cmd_train(args) -> int:
         step0 = int(np.asarray(restored.step))
         if args.resume == "auto":
             # relaunch-same-command semantics: --epochs is a TOTAL budget,
-            # so credit the epochs already completed (steps/epoch is fixed:
-            # drop_last batching) — each preemption relaunch then converges
-            # on the same budget instead of adding a fresh one
-            steps_per_epoch = max(
-                1, len(sources["train"]) // cfg.data.batch_size
-            )
-            start_epoch = min(step0 // steps_per_epoch, cfg.train.epochs)
-        print(f"Resumed from {resume_dir} at step {step0}")
+            # so credit the epochs already COMPLETED — from checkpoint
+            # metadata (the trainer records epochs_completed; the step
+            # counter would over-credit after mid-epoch preemptions, whose
+            # partial-epoch steps accumulate across relaunches). Fallback
+            # for pre-metadata snapshots: the steps//steps_per_epoch
+            # heuristic (drop_last batching makes steps/epoch fixed).
+            done = (_meta or {}).get("metrics", {}).get("epochs_completed")
+            if done is None:
+                steps_per_epoch = max(
+                    1, len(sources["train"]) // cfg.data.batch_size
+                )
+                done = step0 // steps_per_epoch
+            start_epoch = min(int(done), cfg.train.epochs)
+        print(f"Resumed from {resume_dir} at step {step0} "
+              f"(epochs completed: {start_epoch})")
 
     # Fresh shuffle order per epoch (reference DataLoader(shuffle=True)
     # semantics) — with drop_last batching a fixed seed would also exclude
-    # the same tail samples every epoch.
+    # the same tail samples every epoch. Seeds continue the ABSOLUTE epoch
+    # sequence on resume: restarting at seed+0 would replay the earliest
+    # epochs' orders on every relaunch (and their excluded tails).
     import itertools
 
-    epoch_seq = itertools.count()
+    epoch_seq = itertools.count(start_epoch)
 
     def train_source():
         # one seed draw per epoch, shared by both paths so the shuffle

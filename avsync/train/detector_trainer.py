@@ -350,6 +350,16 @@ class DetectorTrainer:
                     state, bank, train_videos,
                     seed=self.config.train.seed + epoch,
                 )
+                if self._preempted:
+                    # skip validation — spend the grace window on the
+                    # snapshot (same policy as LipNetTrainer.train)
+                    self.log.log(
+                        f"preemption signal observed during epoch {epoch}: "
+                        "snapshotting and stopping"
+                    )
+                    if save_fn:
+                        save_fn(state, epoch)
+                    break
                 _, va = self.run_epoch(
                     state, val_bank, val_videos,
                     seed=self.config.train.seed + 10_000 + epoch, train=False,

@@ -524,6 +524,11 @@ class LipNetTrainer:
         t0 = time.time()
         best_val, best_snapshot, stall = float("inf"), None, 0
         final_epoch = start_epoch
+        # Epochs that ran to COMPLETION — a mid-epoch preemption leaves
+        # partial-epoch steps in state.step, so resume accounting must not
+        # be inferred from the step counter (it would over-credit the
+        # budget); this lands in every checkpoint's metadata instead.
+        completed_epochs = start_epoch
         try:
             for epoch in range(start_epoch + 1, epochs + 1):
                 if _stop_now():
@@ -546,7 +551,7 @@ class LipNetTrainer:
                         return self.train_epoch_scanned(st, src)
                     return self.train_epoch(st, src, stop_check=_stop_now)
 
-                if profile_dir is not None and epoch == 1:
+                if profile_dir is not None and epoch == start_epoch + 1:
                     # trace the first epoch only (compile + steady steps —
                     # what a perf investigation needs; whole-run traces are
                     # gigabytes). TensorBoard's profile plugin reads it.
@@ -567,6 +572,7 @@ class LipNetTrainer:
                     )
                     break
                 val_loss = self.validate(state, val_loader_fn())
+                completed_epochs = epoch
                 self.train_losses.append(train_loss)
                 self.val_losses.append(val_loss)
                 self.lr_history.append(self.current_lr)
@@ -590,6 +596,7 @@ class LipNetTrainer:
                         config=self.config,
                         metrics={
                             "train_loss": train_loss, "val_loss": val_loss,
+                            "epochs_completed": epoch,
                         },
                     )
                     self.log.log(f"Saved checkpoint: epoch_{epoch}")
@@ -615,10 +622,13 @@ class LipNetTrainer:
             # this grace-window save must set the flag, not kill the write.
             # marker uses the AGREED decision (stop_logged), not the local
             # flag — processes must write identical metadata
+            final_metrics = {"epochs_completed": completed_epochs}
+            if stop_logged[0]:
+                final_metrics["preempted"] = True
             ckpt.save(
                 final_epoch + 1, _get_global(state, self.mesh),
                 config=self.config,
-                metrics={"preempted": True} if stop_logged[0] else None,
+                metrics=final_metrics,
             )
             ckpt.close()
         finally:

@@ -290,6 +290,9 @@ class TestTrainerLoop:
         assert ckpt.latest_step() == 3  # resume point: one past epoch 2
         _, meta = ckpt.restore(3, template=jax.device_get(state))
         assert meta["metrics"]["preempted"] == 1.0
+        # both epochs ran to completion (signal landed in example_fn,
+        # after validation) — resume accounting credits them
+        assert meta["metrics"]["epochs_completed"] == 2.0
         ckpt.close()
 
     def test_sigterm_mid_epoch_skips_validation(self, tmp_path):
@@ -329,6 +332,11 @@ class TestTrainerLoop:
         assert len(trainer.val_losses) == 1  # but epoch 2 never validated
         ckpt = CheckpointManager(str(tmp_path / "ckpt"))
         assert ckpt.latest_step() == 3
+        _, meta = ckpt.restore(3, template=jax.device_get(state))
+        # epoch 2 was interrupted — resume accounting must NOT credit it
+        # (its steps are in state.step; a step-derived heuristic would
+        # over-credit across relaunches)
+        assert meta["metrics"]["epochs_completed"] == 1.0
         ckpt.close()
 
     def test_profile_dir_captures_first_epoch_trace(self, tmp_path):
