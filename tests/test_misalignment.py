@@ -320,7 +320,7 @@ class TestDetectorPreemption:
             detector=DetectorConfig(hidden_dim=8, epochs=30, batch_size=4),
         )
         trainer = DetectorTrainer(cfg, log=Logger(None, console=False))
-        calls = {"train": 0}
+        calls = {"train": 0, "val": 0}
         before = signal.getsignal(signal.SIGTERM)
 
         def scripted_run_epoch(state, bank, n_videos, seed, train=True,
@@ -329,6 +329,8 @@ class TestDetectorPreemption:
                 calls["train"] += 1
                 if calls["train"] == 2:
                     os.kill(os.getpid(), signal.SIGTERM)
+            else:
+                calls["val"] += 1
             return state, {"loss": 0.0, "acc": 1.0, "auc": 1.0,
                            "labels": np.ones(2), "probs": np.ones(2)}
 
@@ -342,5 +344,8 @@ class TestDetectorPreemption:
             save_fn=lambda st, ep: saves.append(ep),
         )
         assert calls["train"] == 2  # stopped at the boundary, not epoch 30
+        # the signal landed DURING epoch 2's train pass — validation is
+        # skipped for that epoch (the grace window goes to the snapshot)
+        assert calls["val"] == 1
         assert saves == [2]  # snapshot written despite no save_every
         assert signal.getsignal(signal.SIGTERM) == before  # restored
