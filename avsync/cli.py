@@ -367,13 +367,21 @@ def cmd_train(args) -> int:
             # partial-epoch steps accumulate across relaunches). Fallback
             # for pre-metadata snapshots: the steps//steps_per_epoch
             # heuristic (drop_last batching makes steps/epoch fixed).
-            done = (_meta or {}).get("metrics", {}).get("epochs_completed")
+            meta_metrics = (_meta or {}).get("metrics", {})
+            done = meta_metrics.get("epochs_completed")
             if done is None:
                 steps_per_epoch = max(
                     1, len(sources["train"]) // cfg.data.batch_size
                 )
                 done = step0 // steps_per_epoch
             start_epoch = min(int(done), cfg.train.epochs)
+            if meta_metrics.get("early_stopped"):
+                # the previous segment CONVERGED (early stop restored the
+                # best weights) — a relaunch loop must not spend the
+                # remaining budget training past that point
+                print("resume=auto: previous run early-stopped — "
+                      "treating the epoch budget as met")
+                start_epoch = cfg.train.epochs
         print(f"Resumed from {resume_dir} at step {step0} "
               f"(epochs completed: {start_epoch})")
 
@@ -381,10 +389,16 @@ def cmd_train(args) -> int:
     # semantics) — with drop_last batching a fixed seed would also exclude
     # the same tail samples every epoch. Seeds continue the ABSOLUTE epoch
     # sequence on resume: restarting at seed+0 would replay the earliest
-    # epochs' orders on every relaunch (and their excluded tails).
+    # epochs' orders on every relaunch (and their excluded tails). Fresh
+    # runs consume one extra draw first (trainer.train's init-state
+    # template); resumes pass a restored state and draw none, so the
+    # resume path starts one past start_epoch to keep epoch e on seed
+    # index e in both cases.
     import itertools
 
-    epoch_seq = itertools.count(start_epoch)
+    epoch_seq = itertools.count(
+        start_epoch + 1 if resume_state is not None else 0
+    )
 
     def train_source():
         # one seed draw per epoch, shared by both paths so the shuffle

@@ -322,7 +322,7 @@ class DetectorTrainer:
         (`misalignment_detection_train.py:418-444`) and periodic snapshots:
         every `save_every` epochs, `save_fn(state, epoch)` is invoked (the
         `--save_every` checkpoints at `:437-440`)."""
-        import signal
+        from avsync.utils.signals import sigterm_flag
 
         det = self.config.detector
         epochs = epochs or det.epochs
@@ -330,20 +330,11 @@ class DetectorTrainer:
         state = self.init_state(feature_dim)
         best_params, best_auc = None, -1.0
         t0 = time.time()
-        # Graceful preemption, as in LipNetTrainer.train: the handler only
-        # sets a flag (no logging — reentrant BufferedWriter hazard); the
-        # epoch boundary snapshots and stops. Single-controller by scope
-        # (parallel/multihost.py), so a plain flag suffices — no vote.
-        self._preempted = False
-
-        def _on_term(signum, frame):
-            self._preempted = True
-
-        try:
-            prev_term = signal.signal(signal.SIGTERM, _on_term)
-        except ValueError:  # not the main thread
-            prev_term = None
-        try:
+        # Graceful preemption, as in LipNetTrainer.train (shared flag-only
+        # handler, utils/signals.py); the epoch boundary snapshots and
+        # stops. Single-controller by scope (parallel/multihost.py), so a
+        # plain flag suffices — no vote.
+        with sigterm_flag(self):
             for epoch in range(1, epochs + 1):
                 te = time.time()
                 state, tr = self.run_epoch(
@@ -399,9 +390,6 @@ class DetectorTrainer:
                     if save_fn and not saved:
                         save_fn(state, epoch)
                     break
-        finally:
-            if prev_term is not None:
-                signal.signal(signal.SIGTERM, prev_term)
         if best_params is not None:
             state = DetectorState(
                 jax.tree.map(jnp.asarray, best_params), state.opt_state, state.step

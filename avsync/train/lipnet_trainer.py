@@ -383,6 +383,10 @@ class LipNetTrainer:
             # poll at the same batch index (lockstep — stop_check votes).
             if (
                 stop_check is not None
+                # skip batch 0: train() already voted immediately before
+                # dispatching this epoch — a second back-to-back collective
+                # would waste a dispatch per epoch
+                and len(pending)
                 and len(pending) % self.PREEMPT_CHECK_EVERY == 0
                 and stop_check()
             ):
@@ -433,9 +437,9 @@ class LipNetTrainer:
         the history JSON (`train.py:769-771`).
         """
         import json as jsonlib
-        import signal
 
         from avsync.parallel.multihost import get_global as _get_global
+        from avsync.utils.signals import sigterm_flag
 
         cfg = self.config.train
         epochs = epochs if epochs is not None else cfg.epochs
@@ -443,19 +447,11 @@ class LipNetTrainer:
         ckpt = CheckpointManager(ckpt_dir)
 
         # Graceful preemption (TPU pods evict with SIGTERM + a grace
-        # window): finish the in-flight epoch, checkpoint, and return — the
-        # next invocation resumes with --resume. Handlers are restored on
-        # exit (AFTER the final save — repeated SIGTERMs during the grace
-        # window must not kill the snapshot write); installation is skipped
-        # off the main thread (signal.signal raises there — e.g. trainers
-        # driven from a serving thread).
-        self._preempted = False
+        # window): finish the in-flight epoch/batch, checkpoint, and return
+        # — the next invocation resumes with --resume. sigterm_flag scopes
+        # the flag-only handler over the loop AND the final grace-window
+        # save (repeated SIGTERMs during that save must not kill the write).
         stop_logged = [False]
-
-        def _on_term(signum, frame):
-            # flag only: logging from a handler can hit a reentrant
-            # BufferedWriter write and crash the run it should be saving
-            self._preempted = True
 
         def _stop_now() -> bool:
             # In a multi-controller run the stop decision must be taken in
@@ -471,14 +467,6 @@ class LipNetTrainer:
                     "preemption signal observed: checkpointing and stopping"
                 )
             return stop
-
-        prev_handlers = {}
-        try:
-            prev_handlers[signal.SIGTERM] = signal.signal(
-                signal.SIGTERM, _on_term
-            )
-        except ValueError:
-            pass
 
         tb_train = tb_val = None
         if cfg.tensorboard:
@@ -515,12 +503,43 @@ class LipNetTrainer:
         # epochs already completed (CLI --resume auto) so relaunch loops
         # converge instead of each relaunch adding the full budget. Epoch
         # numbering, LR schedule and checkpoint labels stay absolute.
-        if start_epoch:
+        if start_epoch >= epochs:
+            self.log.log(
+                f"Epoch budget already met ({start_epoch}/{epochs}); "
+                "nothing to train"
+            )
+        elif start_epoch:
             self.log.log(
                 f"Resuming at epoch {start_epoch + 1}/{epochs}..."
             )
         else:
             self.log.log(f"Starting training for {epochs} epochs...")
+        if start_epoch and lr_schedule is not None:
+            # Fast-forward the STATEFUL schedule: an uninterrupted run
+            # applied it once per completed epoch, and keras_lr_schedule is
+            # multiplicative — resuming from the initial LR after a deep
+            # resume would train at an arbitrarily wrong rate.
+            for e in range(1, start_epoch + 1):
+                self.current_lr = float(lr_schedule(e - 1, self.current_lr))
+        if (
+            start_epoch
+            and history_path
+            and not self.train_losses
+            and os.path.exists(history_path)
+        ):
+            # Auto-resume presents relaunches as ONE continuous run, so the
+            # history (and the loss plot built from it) must carry the
+            # earlier segments. Truncate to completed epochs: a mid-epoch
+            # preemption records a train loss for an epoch it never
+            # validated or credited.
+            try:
+                with open(history_path) as f:
+                    h = jsonlib.load(f)
+                self.train_losses = list(h.get("loss", []))[:start_epoch]
+                self.val_losses = list(h.get("val_loss", []))[:start_epoch]
+                self.lr_history = list(h.get("lr", []))[:start_epoch]
+            except (OSError, ValueError):
+                pass  # unreadable prior history — start the lists fresh
         t0 = time.time()
         best_val, best_snapshot, stall = float("inf"), None, 0
         final_epoch = start_epoch
@@ -529,7 +548,8 @@ class LipNetTrainer:
         # be inferred from the step counter (it would over-credit the
         # budget); this lands in every checkpoint's metadata instead.
         completed_epochs = start_epoch
-        try:
+        early_stopped = False
+        with sigterm_flag(self):
             for epoch in range(start_epoch + 1, epochs + 1):
                 if _stop_now():
                     break
@@ -615,25 +635,32 @@ class LipNetTrainer:
                             state = self.shard_state(
                                 TrainState(*best_snapshot)
                             )
+                            early_stopped = True
                             break
             # Final snapshot labeled one past the epoch actually reached
             # (early stopping included), not past the requested epoch
             # count. Inside the handler scope: a repeated SIGTERM during
             # this grace-window save must set the flag, not kill the write.
-            # marker uses the AGREED decision (stop_logged), not the local
-            # flag — processes must write identical metadata
-            final_metrics = {"epochs_completed": completed_epochs}
-            if stop_logged[0]:
-                final_metrics["preempted"] = True
-            ckpt.save(
-                final_epoch + 1, _get_global(state, self.mesh),
-                config=self.config,
-                metrics=final_metrics,
-            )
+            # Markers use AGREED decisions (stop_logged / the lockstep
+            # loop), not process-local flags — processes must write
+            # identical metadata. A budget-already-met relaunch skips the
+            # save entirely: it would park the latest snapshot and rewrite
+            # an identical one (minutes of I/O for large params).
+            if start_epoch < epochs:
+                final_metrics = {"epochs_completed": completed_epochs}
+                if stop_logged[0]:
+                    final_metrics["preempted"] = True
+                if early_stopped:
+                    # --resume auto reads this as "run is DONE": a relaunch
+                    # must not train the remaining budget from the restored
+                    # best weights (undoing what early stopping prevented)
+                    final_metrics["early_stopped"] = True
+                ckpt.save(
+                    final_epoch + 1, _get_global(state, self.mesh),
+                    config=self.config,
+                    metrics=final_metrics,
+                )
             ckpt.close()
-        finally:
-            for sig, handler in prev_handlers.items():
-                signal.signal(sig, handler)
         if tb_train is not None:
             tb_train.close()
             tb_val.close()

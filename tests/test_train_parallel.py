@@ -339,6 +339,111 @@ class TestTrainerLoop:
         assert meta["metrics"]["epochs_completed"] == 1.0
         ckpt.close()
 
+    def test_resume_fast_forwards_stateful_lr_schedule(self, tmp_path):
+        """A stateful (multiplicative) schedule must be replayed over the
+        epochs a previous segment already completed — resuming at the
+        initial LR would train at an arbitrarily wrong rate."""
+        cfg = tiny_config()
+        trainer = LipNetTrainer(
+            cfg, mesh=make_mesh((8, 1)), log=Logger(None, console=False)
+        )
+        rng = np.random.default_rng(0)
+        state = trainer.init_state(synth_batch(rng))
+        trainer.train(
+            loader_fn(0), loader_fn(1), epochs=3,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            state=state, start_epoch=2,
+            lr_schedule=lambda epoch, lr: lr * 0.5,
+        )
+        # replayed epochs 1-2, then the loop applied epoch 3: 0.5^3
+        assert trainer.current_lr == pytest.approx(
+            cfg.train.learning_rate * 0.125
+        )
+        assert len(trainer.train_losses) == 1  # only epoch 3 ran
+
+    def test_early_stop_marks_run_done_in_metadata(self, tmp_path):
+        """Early stopping writes early_stopped into the final checkpoint's
+        metadata so an auto-resume relaunch treats the budget as met
+        instead of training past the restored best weights."""
+        cfg = tiny_config()
+        trainer = LipNetTrainer(
+            cfg, mesh=make_mesh((8, 1)), log=Logger(None, console=False)
+        )
+        vals = iter([1.0, 2.0, 3.0, 4.0, 5.0])
+        trainer.validate = lambda state, loader: next(vals)
+        state = trainer.train(
+            loader_fn(0), loader_fn(1), epochs=50,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            early_stopping_patience=2,
+        )
+        # best at epoch 1, stall hits 2 at epoch 3
+        assert len(trainer.train_losses) == 3
+        ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+        step = ckpt.latest_step()
+        _, meta = ckpt.restore(step, template=jax.device_get(state))
+        assert meta["metrics"]["early_stopped"] == 1.0
+        assert meta["metrics"]["epochs_completed"] == 3.0
+        ckpt.close()
+
+    def test_budget_met_relaunch_is_a_noop(self, tmp_path):
+        """start_epoch >= epochs (one relaunch too many): no epochs run and
+        the existing latest snapshot is NOT parked-and-rewritten."""
+        import os
+
+        cfg = tiny_config()
+        trainer = LipNetTrainer(
+            cfg, mesh=make_mesh((8, 1)), log=Logger(None, console=False)
+        )
+        state = trainer.train(
+            loader_fn(0), loader_fn(1), epochs=2,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        latest_dir = str(tmp_path / "ckpt" / "3")
+        assert os.path.isdir(latest_dir)
+        mtime = os.path.getmtime(latest_dir)
+        trainer2 = LipNetTrainer(
+            cfg, mesh=make_mesh((8, 1)), log=Logger(None, console=False)
+        )
+        trainer2.train(
+            loader_fn(0), loader_fn(1), epochs=2,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            state=state, start_epoch=2,
+        )
+        assert trainer2.train_losses == []  # nothing trained
+        ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+        assert ckpt.latest_step() == 3  # unchanged
+        ckpt.close()
+        assert os.path.getmtime(latest_dir) == mtime  # not rewritten
+
+    def test_resume_seeds_history_from_prior_segment(self, tmp_path):
+        """Auto-resume presents relaunches as one continuous run: the
+        history JSON (and loss plot) must carry earlier segments' curves
+        instead of being overwritten with only the final segment."""
+        import json
+
+        hist_path = str(tmp_path / "history.json")
+        with open(hist_path, "w") as f:
+            json.dump(
+                {"loss": [5.0, 4.0], "val_loss": [5.1, 4.1],
+                 "lr": [1e-3, 1e-3]},
+                f,
+            )
+        cfg = tiny_config()
+        trainer = LipNetTrainer(
+            cfg, mesh=make_mesh((8, 1)), log=Logger(None, console=False)
+        )
+        rng = np.random.default_rng(0)
+        state = trainer.init_state(synth_batch(rng))
+        trainer.train(
+            loader_fn(0), loader_fn(1), epochs=3,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            state=state, start_epoch=2, history_path=hist_path,
+        )
+        with open(hist_path) as f:
+            h = json.load(f)
+        assert h["loss"][:2] == [5.0, 4.0]  # prior segments preserved
+        assert len(h["loss"]) == 3 and len(h["val_loss"]) == 3
+
     def test_profile_dir_captures_first_epoch_trace(self, tmp_path):
         """--profile_dir plumbing: the first epoch runs under jax.profiler
         and leaves a TensorBoard-profile-plugin-loadable trace."""
