@@ -72,6 +72,15 @@ class DataConfig:
     # streams. Identical batch contents either way (tests/test_data.py).
     device_cache: str = "auto"
     device_cache_budget_mb: int = 4096
+    # Cache element dtype: 'auto' stores bfloat16 when the MODEL computes in
+    # bfloat16 (the accelerator default) and float32 otherwise. A bf16 cache
+    # holds 2x the clips per budget MB and halves the one-hot gather's HBM
+    # traffic, while the training math stays BIT-IDENTICAL to streaming:
+    # the model's first op casts inputs to its compute dtype, and
+    # bf16(f32(bf16(x))) == bf16(x). Under float32 compute the cache stays
+    # f32 so the raw batches themselves are bit-identical. Explicit
+    # 'float32'/'bfloat16' override.
+    device_cache_dtype: str = "auto"
     # Cache-gather formulation crossover: below this cache size the batch
     # gather is an int8 one-hot matmul (MXU; reads the whole cache per
     # batch), above it jnp.take (reads only the batch rows, but at the

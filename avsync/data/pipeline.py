@@ -341,9 +341,31 @@ class LipNetBatcher:
             batch_size, shuffle, seed, drop_last, prefetch_size
         )
 
+    def _cache_dtype(self):
+        """Cache element dtype (see DataConfig.device_cache_dtype).
+
+        'auto' follows the model's compute dtype: a bf16-computing model
+        casts its input first thing, so a bf16 cache is invisible to the
+        training math (bf16(f32(bf16(x))) == bf16(x)) while doubling
+        capacity per budget MB and halving the gather's HBM traffic; an
+        f32-computing model keeps the f32 cache so raw batches stay
+        bit-identical to streaming."""
+        import jax.numpy as jnp
+
+        mode = getattr(self.cfg.data, "device_cache_dtype", "auto")
+        if mode == "auto":
+            bf16_compute = (
+                getattr(self.cfg.model, "compute_dtype", None) == "bfloat16"
+            )
+            return jnp.bfloat16 if bf16_compute else jnp.float32
+        return jnp.dtype(mode)
+
     def _clip_bytes(self) -> int:
+        import jax.numpy as jnp
+
         d = self.cfg.data
-        return 4 * d.max_video_length * d.img_height * d.img_width
+        itemsize = jnp.dtype(self._cache_dtype()).itemsize
+        return itemsize * d.max_video_length * d.img_height * d.img_width
 
     def _cache_clip_count(self) -> int:
         """How many clips (in source order) the cache may hold.
@@ -420,6 +442,10 @@ class LipNetBatcher:
         #     BIT-IDENTICAL to streamed ones and the gather still pipelines
         #     fully under a ~198 ms train step.
         clip_shape = vids[0].shape[1:]
+        # Element dtype: bf16 under a bf16-computing model ('auto'),
+        # halving both the budget spent per clip and the bytes the gather
+        # moves; the model's entry cast makes it invisible to training.
+        cdt = self._cache_dtype()
 
         # The one-hot matmul reads the WHOLE cache per batch (O(N*K) HBM
         # traffic), while jnp.take reads only the B gathered rows but at the
@@ -429,7 +455,7 @@ class LipNetBatcher:
         # budget-limit corpus under 'auto' would otherwise spend more time
         # gathering (up to ~1.3 s/batch at 4 GB) than training.
         n_clips = sum(int(v.shape[0]) for v in vids)
-        clip_bytes = 4 * int(np.prod(clip_shape))
+        clip_bytes = jnp.dtype(cdt).itemsize * int(np.prod(clip_shape))
         max_mb = self.cfg.data.cache_gather_onehot_max_mb
         use_onehot = n_clips * clip_bytes <= max_mb * 2**20
 
@@ -440,12 +466,18 @@ class LipNetBatcher:
                 rows = rows.astype(jnp.int8)
             else:
                 rows = jnp.take(c, i, axis=0)
-            return rows.view(jnp.float32).reshape((-1,) + clip_shape)
+            # upcast back to f32 so everything downstream (partial-cache
+            # row merge, the train step's input signature) is unchanged
+            return (
+                rows.view(cdt)
+                .astype(jnp.float32)
+                .reshape((-1,) + clip_shape)
+            )
 
         self._gather_raw = gather  # unjitted: embeds into whole-epoch scans
 
         def to_bytes(x):
-            x = jnp.asarray(x, jnp.float32)
+            x = jnp.asarray(x, jnp.float32).astype(cdt)
             return x.reshape(x.shape[0], -1).view(jnp.int8).reshape(
                 x.shape[0], -1
             )

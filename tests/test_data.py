@@ -346,6 +346,63 @@ class TestDeviceCache:
                 )
                 np.testing.assert_array_equal(x["video"], y["video"])
 
+    def test_bf16_cache_post_cast_identical_to_streamed(self, tmp_path):
+        """device_cache_dtype='auto' under a bf16-computing model stores the
+        cache in bfloat16: the TRAINING inputs (after the model's entry cast
+        to its compute dtype) are exactly identical to streaming —
+        bf16(f32(bf16(x))) == bf16(x) — while the cache holds 2x the clips
+        per budget MB."""
+        import jax.numpy as jnp
+
+        root, cfg = self._corpus_cfg(tmp_path, "on")
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, compute_dtype="bfloat16"
+            )
+        )
+        streamed = LipNetBatcher(
+            GridDataSource(root),
+            dataclasses.replace(
+                cfg, data=dataclasses.replace(cfg.data, device_cache="off")
+            ),
+        )
+        cached = LipNetBatcher(GridDataSource(root), cfg)
+        a = self._collect(streamed, shuffle=True, seed=3, drop_last=True)
+        b = self._collect(cached, shuffle=True, seed=3, drop_last=True)
+        assert cached._device_cache is not None
+        assert len(a) == len(b) > 0
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x["labels"], y["labels"])
+            va = np.asarray(jnp.asarray(x["video"]).astype(jnp.bfloat16))
+            vb = np.asarray(jnp.asarray(y["video"]).astype(jnp.bfloat16))
+            assert (va == vb).all()  # post-entry-cast: bit-identical
+
+    def test_cache_dtype_budget_and_auto_resolution(self, tmp_path):
+        """bf16 halves the per-clip budget charge (2x capacity); 'auto'
+        follows the model's compute dtype; explicit values override."""
+        import jax.numpy as jnp
+
+        root, cfg = self._corpus_cfg(tmp_path, "auto")
+        f32b = LipNetBatcher(GridDataSource(root), cfg)
+        bf16_cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, compute_dtype="bfloat16"
+            )
+        )
+        bf16b = LipNetBatcher(GridDataSource(root), bf16_cfg)
+        assert f32b._cache_dtype() == jnp.float32  # f32 compute -> f32
+        assert bf16b._cache_dtype() == jnp.bfloat16
+        assert 2 * bf16b._clip_bytes() == f32b._clip_bytes()
+        forced = LipNetBatcher(
+            GridDataSource(root),
+            dataclasses.replace(
+                cfg, data=dataclasses.replace(
+                    cfg.data, device_cache_dtype="bfloat16"
+                )
+            ),
+        )
+        assert forced._cache_dtype() == jnp.bfloat16  # explicit override
+
     def test_partial_cache_matches_streamed_exactly(self, tmp_path):
         """Corpus ~2.5x the cache budget: the budget-sized prefix is cached,
         the rest streams — batch contents must stay bit-identical to the
