@@ -72,14 +72,16 @@ class DataConfig:
     # streams. Identical batch contents either way (tests/test_data.py).
     device_cache: str = "auto"
     device_cache_budget_mb: int = 4096
-    # Cache element dtype: 'auto' stores bfloat16 when the MODEL computes in
-    # bfloat16 (the accelerator default) and float32 otherwise. A bf16 cache
-    # holds 2x the clips per budget MB and halves the one-hot gather's HBM
-    # traffic, while the training math stays BIT-IDENTICAL to streaming:
-    # the model's first op casts inputs to its compute dtype, and
-    # bf16(f32(bf16(x))) == bf16(x). Under float32 compute the cache stays
-    # f32 so the raw batches themselves are bit-identical. Explicit
-    # 'float32'/'bfloat16' override.
+    # Cache element dtype. 'auto' picks the smallest LOSSLESS layout:
+    #   * uint8 when the first decoded batch proves every preprocessed value
+    #     is exactly k/255 (preprocessed/roi_host corpora, whose device
+    #     preprocess is u8 * (1/255)) — 4x the clips per budget MB and the
+    #     gather reproduces the streamed f32 values bit-for-bit;
+    #   * else bfloat16 when the MODEL computes in bfloat16 (the accelerator
+    #     default) — 2x capacity, and the model's entry cast makes it
+    #     invisible to training (bf16(f32(bf16(x))) == bf16(x));
+    #   * else float32 (raw batches themselves bit-identical).
+    # Explicit 'float32'/'bfloat16' skip the probe and force the dtype.
     device_cache_dtype: str = "auto"
     # Cache-gather formulation crossover: below this cache size the batch
     # gather is an int8 one-hot matmul (MXU; reads the whole cache per

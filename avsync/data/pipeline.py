@@ -360,12 +360,22 @@ class LipNetBatcher:
             return jnp.bfloat16 if bf16_compute else jnp.float32
         return jnp.dtype(mode)
 
-    def _clip_bytes(self) -> int:
+    def _clip_bytes(self, itemsize: Optional[int] = None) -> int:
         import jax.numpy as jnp
 
         d = self.cfg.data
-        itemsize = jnp.dtype(self._cache_dtype()).itemsize
+        if itemsize is None:
+            itemsize = jnp.dtype(self._cache_dtype()).itemsize
         return itemsize * d.max_video_length * d.img_height * d.img_width
+
+    def _budget_clip_count(self, itemsize: int) -> int:
+        n = len(self.source)
+        if getattr(self.cfg.data, "device_cache", "off") == "on":
+            return n
+        budget = (
+            getattr(self.cfg.data, "device_cache_budget_mb", 4096) * 2**20
+        )
+        return min(n, int(budget // max(self._clip_bytes(itemsize), 1)))
 
     def _cache_clip_count(self) -> int:
         """How many clips (in source order) the cache may hold.
@@ -376,11 +386,7 @@ class LipNetBatcher:
         (VERDICT r3 Missing #4: all-or-nothing caching cliffed e2e 607->132
         clips/s one byte over budget; partial caching degrades linearly with
         the cached fraction instead)."""
-        n = len(self.source)
-        if getattr(self.cfg.data, "device_cache", "off") == "on":
-            return n
-        budget = getattr(self.cfg.data, "device_cache_budget_mb", 4096) * 2**20
-        return min(n, int(budget // max(self._clip_bytes(), 1)))
+        return self._budget_clip_count(None)
 
     def _cache_allowed(self, eager: bool = True) -> bool:
         """Whether (any prefix of) the corpus may live in device memory."""
@@ -407,29 +413,95 @@ class LipNetBatcher:
         n_cached = self._cache_clip_count()
         if n_cached < 1:
             return
-        # stream only the prefix that fits the budget (source order); with a
+        # Element dtype (see DataConfig.device_cache_dtype). Under 'auto',
+        # the first decoded batch additionally probes for the uint8-EXACT
+        # mode: when every preprocessed value is exactly k/255 (preprocessed
+        # or roi_host corpora, whose device preprocess is u8 * (1/255)),
+        # the cache stores the recovered uint8 — 4x the clips per budget MB
+        # vs f32 — and the gather re-applies the streamed path's exact
+        # expression, so cached values reproduce the f32 stream BIT-FOR-BIT.
+        # Standardized (TF-family) or device-resized corpora fail the probe
+        # and fall back to the policy dtype.
+        policy = getattr(self.cfg.data, "device_cache_dtype", "auto")
+        store_dt = self._cache_dtype()
+        u8 = False  # decided on the first batch (policy 'auto' only)
+
+        def quantize(x):
+            if u8:
+                return jnp.round(x * 255.0).astype(jnp.uint8)
+            return jnp.asarray(x, jnp.float32).astype(store_dt)
+
+        def to_bytes(x):
+            q = quantize(x)
+            return q.reshape(q.shape[0], -1).view(jnp.int8).reshape(
+                q.shape[0], -1
+            )
+
+        rep_kw = {}
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep_kw = {
+                "out_shardings": NamedSharding(self.mesh, PartitionSpec())
+            }
+        u8_probe = jax.jit(
+            lambda x: jnp.all(
+                jnp.round(x * 255.0).astype(jnp.uint8).astype(jnp.float32)
+                * (1.0 / 255.0)
+                == x
+            ),
+            **rep_kw,
+        )
+
+        # Stream the prefix that fits the budget (source order), converting
+        # each batch to cache BYTES as it arrives — the build's transient
+        # footprint is one f32 batch, not the whole f32 corpus (which would
+        # defeat a compact cache's capacity win near the HBM budget). With a
         # partial cache the rest streams per epoch through the same
-        # decode+preprocess path, so batch contents stay identical
-        vids, got = [], 0
+        # decode+preprocess path, so batch contents stay identical.
+        parts, got, clip_shape, u8_flags = [], 0, None, []
+        to_bytes_jit = None
         gen = self._host_epoch(
             None, shuffle=False, seed=0, drop_last=False, prefetch_size=2
         )
         try:
             for hb in gen:
+                if clip_shape is None:
+                    clip_shape = hb["video"].shape[1:]
+                    # one synchronous probe decides the mode + budget...
+                    if policy == "auto" and bool(u8_probe(hb["video"])):
+                        u8 = True
+                        store_dt = jnp.uint8
+                        n_cached = self._budget_clip_count(1)
+                    to_bytes_jit = jax.jit(to_bytes, **rep_kw)
                 take = min(int(hb["valid"]), n_cached - got)
-                vids.append(hb["video"][:take])
+                x = hb["video"][:take]
+                if u8 and parts:
+                    # ...later batches verify WITHOUT a sync (device bools,
+                    # fetched once after the loop) — a mixed-content corpus
+                    # whose tail stops being k/255-exact must not be stored
+                    # uint8
+                    u8_flags.append(u8_probe(x))
+                parts.append(to_bytes_jit(x))
                 got += take
                 if got >= n_cached:
                     break
         finally:
             gen.close()
+        if u8 and u8_flags and not all(map(bool, u8_flags)):
+            # keep only the verified-exact u8 prefix (parts[0] was probed
+            # at decision time); the remainder streams per epoch — partial
+            # cache semantics, still bit-identical everywhere
+            bad = next(i for i, f in enumerate(u8_flags) if not bool(f))
+            parts = parts[: bad + 1]
+        n_cached = got = sum(int(p.shape[0]) for p in parts)
         labels, lengths = self.source.labels_batch(
             list(range(n)), self.cfg.data.max_label_length,
             vocab=self.cfg.model.family,
         )
-        # Layout: the cache is stored FLAT — (N, 4*T*H*W*C) int8, the f32
-        # clips bitcast to bytes — never (N,T,H,W,1). Two measured v5e traps
-        # drive this design (see PERF.md "Cache layout"):
+        # Layout: the cache is stored FLAT — (N, k*T*H*W*C) int8, the
+        # elements bitcast to bytes — never (N,T,H,W,1). Two measured v5e
+        # traps drive this design (see PERF.md "Cache layout"):
         #   * a trailing dim of 1 maps to the 128-wide TPU lane dimension and
         #     XLA's tiled layout pads it 128x: a row gather from the 5-D
         #     cache measured 5,035 ms/batch-of-128 vs 31 ms flat;
@@ -441,12 +513,7 @@ class LipNetBatcher:
         #     recovers every byte exactly (124 ms), so cached batches stay
         #     BIT-IDENTICAL to streamed ones and the gather still pipelines
         #     fully under a ~198 ms train step.
-        clip_shape = vids[0].shape[1:]
-        # Element dtype: bf16 under a bf16-computing model ('auto'),
-        # halving both the budget spent per clip and the bytes the gather
-        # moves; the model's entry cast makes it invisible to training.
-        cdt = self._cache_dtype()
-
+        #
         # The one-hot matmul reads the WHOLE cache per batch (O(N*K) HBM
         # traffic), while jnp.take reads only the B gathered rows but at the
         # dynamic-gather HLO's poor effective bandwidth. Measured at the
@@ -454,10 +521,9 @@ class LipNetBatcher:
         # roughly independent of N. Crossover ~= 768 MB — above it, a
         # budget-limit corpus under 'auto' would otherwise spend more time
         # gathering (up to ~1.3 s/batch at 4 GB) than training.
-        n_clips = sum(int(v.shape[0]) for v in vids)
-        clip_bytes = jnp.dtype(cdt).itemsize * int(np.prod(clip_shape))
+        clip_bytes = jnp.dtype(store_dt).itemsize * int(np.prod(clip_shape))
         max_mb = self.cfg.data.cache_gather_onehot_max_mb
-        use_onehot = n_clips * clip_bytes <= max_mb * 2**20
+        use_onehot = n_cached * clip_bytes <= max_mb * 2**20
 
         def gather(c, i):
             if use_onehot:
@@ -468,41 +534,29 @@ class LipNetBatcher:
                 rows = jnp.take(c, i, axis=0)
             # upcast back to f32 so everything downstream (partial-cache
             # row merge, the train step's input signature) is unchanged
-            return (
-                rows.view(cdt)
-                .astype(jnp.float32)
-                .reshape((-1,) + clip_shape)
-            )
+            rows = rows.view(store_dt).astype(jnp.float32)
+            if u8:
+                # the streamed device preprocess's exact expression
+                rows = rows * (1.0 / 255.0)
+            return rows.reshape((-1,) + clip_shape)
 
         self._gather_raw = gather  # unjitted: embeds into whole-epoch scans
 
-        def to_bytes(x):
-            x = jnp.asarray(x, jnp.float32).astype(cdt)
-            return x.reshape(x.shape[0], -1).view(jnp.int8).reshape(
-                x.shape[0], -1
-            )
-
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-
             from avsync.parallel import batch_sharding
 
-            replicated = NamedSharding(self.mesh, PartitionSpec())
             video = jax.jit(
-                lambda xs: jnp.concatenate(
-                    [to_bytes(x) for x in xs], axis=0
-                ),
-                out_shardings=replicated,
-            )(vids)
+                lambda xs: jnp.concatenate(xs, axis=0), **rep_kw
+            )(parts)
             self._gather = jax.jit(
                 gather, out_shardings=batch_sharding(self.mesh)
             )
         else:
-            video = jnp.concatenate([to_bytes(x) for x in vids], axis=0)
+            video = jnp.concatenate(parts, axis=0)
             self._gather = jax.jit(gather)
         self._device_cache = {
             "video": video, "labels": labels, "label_lengths": lengths,
-            "n_cached": n_cached,
+            "n_cached": n_cached, "dtype": jnp.dtype(store_dt).name,
         }
 
     def scan_plan(self, batch_size=None, shuffle=True, seed=0):

@@ -252,6 +252,9 @@ class TestHostRoi:
                 max_video_length=4, batch_size=2, roi_host=True,
                 roi_mode="model", device_cache="auto",
                 device_cache_budget_mb=1,
+                # pin f32 so the 1 MB budget still splits the corpus (the
+                # uint8-exact mode would cache all of it)
+                device_cache_dtype="float32",
             )
         )
         streamed = LipNetBatcher(
@@ -346,19 +349,64 @@ class TestDeviceCache:
                 )
                 np.testing.assert_array_equal(x["video"], y["video"])
 
+    def test_uint8_exact_cache_on_preprocessed_corpus(self, tmp_path):
+        """'auto' probes the first batch: a preprocessed corpus (device
+        preprocess = u8 * (1/255)) stores the cache as uint8 — 4x capacity —
+        and the RAW cached batches still reproduce the streamed f32 values
+        bit-for-bit (the gather re-applies the exact streamed expression)."""
+        root, cfg = self._corpus_cfg(tmp_path, "on")
+        streamed = LipNetBatcher(
+            GridDataSource(root),
+            dataclasses.replace(
+                cfg, data=dataclasses.replace(cfg.data, device_cache="off")
+            ),
+        )
+        cached = LipNetBatcher(GridDataSource(root), cfg)
+        a = self._collect(streamed, shuffle=True, seed=3, drop_last=True)
+        b = self._collect(cached, shuffle=True, seed=3, drop_last=True)
+        assert cached._device_cache["dtype"] == "uint8"
+        assert len(a) == len(b) > 0
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x["video"], y["video"])
+            np.testing.assert_array_equal(x["labels"], y["labels"])
+
+    def test_uint8_rebudget_caches_4x_the_f32_count(self, tmp_path):
+        """The first-batch probe re-budgets the build at 1 byte/px: a 1 MB
+        budget that holds 2 f32 clips (384 kB each) holds 10 as uint8 —
+        the capacity IS the feature; the tail still streams (partial)."""
+        root = str(tmp_path / "gridu8")
+        synthetic.write_corpus(
+            root, n_speakers=1, clips_per_speaker=12,
+            n_frames=4, height=120, width=200, seed=13, with_audio=False,
+        )
+        cfg = AvsyncConfig(
+            data=DataConfig(
+                data_path=root, img_height=120, img_width=200,
+                max_video_length=4, batch_size=2,
+                device_cache="auto", device_cache_budget_mb=1,
+            )
+        )
+        cached = LipNetBatcher(GridDataSource(root), cfg)
+        a = self._collect(cached, shuffle=True, seed=5, drop_last=True)
+        b = self._collect(cached, shuffle=True, seed=5, drop_last=True)
+        assert cached._device_cache["dtype"] == "uint8"
+        assert cached._device_cache["n_cached"] == 10  # 1 MB // 96 kB
+        for x, y in zip(a, b):  # cache epoch == warm-up (streamed) epoch
+            np.testing.assert_array_equal(x["video"], y["video"])
+
     def test_bf16_cache_post_cast_identical_to_streamed(self, tmp_path):
-        """device_cache_dtype='auto' under a bf16-computing model stores the
-        cache in bfloat16: the TRAINING inputs (after the model's entry cast
-        to its compute dtype) are exactly identical to streaming —
-        bf16(f32(bf16(x))) == bf16(x) — while the cache holds 2x the clips
-        per budget MB."""
+        """A standardized corpus fails the uint8 probe; under a
+        bf16-computing model 'auto' then stores bfloat16: the TRAINING
+        inputs (after the model's entry cast to its compute dtype) are
+        exactly identical to streaming — bf16(f32(bf16(x))) == bf16(x) —
+        while the cache holds 2x the clips per budget MB."""
         import jax.numpy as jnp
 
         root, cfg = self._corpus_cfg(tmp_path, "on")
         cfg = dataclasses.replace(
-            cfg, model=dataclasses.replace(
-                cfg.model, compute_dtype="bfloat16"
-            )
+            cfg,
+            model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"),
+            data=dataclasses.replace(cfg.data, standardize_clips=True),
         )
         streamed = LipNetBatcher(
             GridDataSource(root),
@@ -369,7 +417,7 @@ class TestDeviceCache:
         cached = LipNetBatcher(GridDataSource(root), cfg)
         a = self._collect(streamed, shuffle=True, seed=3, drop_last=True)
         b = self._collect(cached, shuffle=True, seed=3, drop_last=True)
-        assert cached._device_cache is not None
+        assert cached._device_cache["dtype"] == "bfloat16"
         assert len(a) == len(b) > 0
         for x, y in zip(a, b):
             np.testing.assert_array_equal(x["labels"], y["labels"])
@@ -422,6 +470,9 @@ class TestDeviceCache:
                 data_path=root, img_height=120, img_width=200,
                 max_video_length=4, batch_size=2,
                 device_cache="auto", device_cache_budget_mb=1,
+                # pin f32: the uint8-exact mode would fit all 5 clips in
+                # 1 MB and this test exists to exercise the PARTIAL path
+                device_cache_dtype="float32",
             )
         )
         streamed = LipNetBatcher(
