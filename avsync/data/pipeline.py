@@ -358,6 +358,14 @@ class LipNetBatcher:
                 getattr(self.cfg.model, "compute_dtype", None) == "bfloat16"
             )
             return jnp.bfloat16 if bf16_compute else jnp.float32
+        if mode not in ("float32", "bfloat16"):
+            # uint8 is NOT a valid explicit value: it is only correct when
+            # the content probe proves k/255-exactness ('auto' does that);
+            # forcing it would astype-truncate [0,1] floats to zeros
+            raise ValueError(
+                f"device_cache_dtype={mode!r}: use 'auto', 'float32' or "
+                "'bfloat16' (uint8 is chosen automatically when lossless)"
+            )
         return jnp.dtype(mode)
 
     def _clip_bytes(self, itemsize: Optional[int] = None) -> int:
