@@ -174,6 +174,11 @@ class LipNetBatcher:
         self._localizer_params = None
         self._host_roi_cache: Dict = {}  # per-geometry CPU-backend ROI jits
         self._local_rows_cache: Dict = {}  # multihost: per-B local row sets
+        if getattr(config.data, "device_cache", "off") != "off":
+            # fail fast on an invalid device_cache_dtype: under 'auto' the
+            # cache machinery only runs at the SECOND epoch() call, and a
+            # late ValueError there would throw away a full epoch of work
+            self._cache_dtype()
         if config.data.roi_mode == "detector":
             from avsync.data.mouth import MouthDetector
 
@@ -353,10 +358,10 @@ class LipNetBatcher:
         import jax.numpy as jnp
 
         mode = getattr(self.cfg.data, "device_cache_dtype", "auto")
+        bf16_compute = (
+            getattr(self.cfg.model, "compute_dtype", None) == "bfloat16"
+        )
         if mode == "auto":
-            bf16_compute = (
-                getattr(self.cfg.model, "compute_dtype", None) == "bfloat16"
-            )
             return jnp.bfloat16 if bf16_compute else jnp.float32
         if mode not in ("float32", "bfloat16"):
             # uint8 is NOT a valid explicit value: it is only correct when
@@ -365,6 +370,19 @@ class LipNetBatcher:
             raise ValueError(
                 f"device_cache_dtype={mode!r}: use 'auto', 'float32' or "
                 "'bfloat16' (uint8 is chosen automatically when lossless)"
+            )
+        if mode == "bfloat16" and not bf16_compute:
+            # bf16 storage is only invisible to training when the model
+            # casts its input to bf16 anyway (bf16(f32(bf16(x))) == bf16(x)).
+            # Under f32 compute it would silently train epochs 2+ on
+            # bf16-rounded inputs (and mix rounded/exact rows within a batch
+            # under a partial cache) — a contract breach, so refuse.
+            raise ValueError(
+                "device_cache_dtype='bfloat16' requires "
+                "model.compute_dtype='bfloat16': with f32 compute the cached "
+                "epochs would train on bf16-rounded inputs, breaking the "
+                "cached==streamed guarantee. Use compute_dtype='bfloat16' or "
+                "device_cache_dtype='auto'/'float32'."
             )
         return jnp.dtype(mode)
 
@@ -376,7 +394,7 @@ class LipNetBatcher:
             itemsize = jnp.dtype(self._cache_dtype()).itemsize
         return itemsize * d.max_video_length * d.img_height * d.img_width
 
-    def _budget_clip_count(self, itemsize: int) -> int:
+    def _budget_clip_count(self, itemsize: Optional[int]) -> int:
         n = len(self.source)
         if getattr(self.cfg.data, "device_cache", "off") == "on":
             return n
@@ -434,24 +452,19 @@ class LipNetBatcher:
         store_dt = self._cache_dtype()
         u8 = False  # decided on the first batch (policy 'auto' only)
 
-        def quantize(x):
-            if u8:
-                return jnp.round(x * 255.0).astype(jnp.uint8)
-            return jnp.asarray(x, jnp.float32).astype(store_dt)
-
         def to_bytes(x):
-            q = quantize(x)
-            return q.reshape(q.shape[0], -1).view(jnp.int8).reshape(
-                q.shape[0], -1
-            )
+            if u8:
+                q = jnp.round(x * 255.0).astype(jnp.uint8)
+            else:
+                q = jnp.asarray(x, jnp.float32).astype(store_dt)
+            return q.reshape(q.shape[0], -1).view(jnp.int8)
 
-        rep_kw = {}
+        rep = None
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
-            rep_kw = {
-                "out_shardings": NamedSharding(self.mesh, PartitionSpec())
-            }
+            rep = NamedSharding(self.mesh, PartitionSpec())
+        rep_kw = {"out_shardings": rep} if rep is not None else {}
         u8_probe = jax.jit(
             lambda x: jnp.all(
                 jnp.round(x * 255.0).astype(jnp.uint8).astype(jnp.float32)
@@ -461,14 +474,33 @@ class LipNetBatcher:
             **rep_kw,
         )
 
+        def write_fn(buf, x, row):
+            # one fused program per batch: convert to cache bytes, write
+            # into the preallocated buffer via dynamic_update_slice (buf is
+            # DONATED, so XLA updates in place), and — in uint8 mode —
+            # re-verify k/255-exactness in the same pass instead of a second
+            # jit over the same batch
+            out = jax.lax.dynamic_update_slice(buf, to_bytes(x), (row, 0))
+            if u8:
+                ok = jnp.all(
+                    jnp.round(x * 255.0).astype(jnp.uint8).astype(jnp.float32)
+                    * (1.0 / 255.0)
+                    == x
+                )
+                return out, ok
+            return out
+
         # Stream the prefix that fits the budget (source order), converting
-        # each batch to cache BYTES as it arrives — the build's transient
-        # footprint is one f32 batch, not the whole f32 corpus (which would
-        # defeat a compact cache's capacity win near the HBM budget). With a
-        # partial cache the rest streams per epoch through the same
-        # decode+preprocess path, so batch contents stay identical.
-        parts, got, clip_shape, u8_flags = [], 0, None, []
-        to_bytes_jit = None
+        # each batch to cache BYTES as it arrives and writing it straight
+        # into the final preallocated buffer — the build's transient
+        # footprint is the byte buffer + one f32 batch, NEVER a parts list
+        # plus a concatenated copy (which would transiently double the
+        # budget near the HBM headroom and defeat a compact cache's
+        # capacity win). With a partial cache the rest streams per epoch
+        # through the same decode+preprocess path, so batch contents stay
+        # identical.
+        got, clip_shape, u8_flags = 0, None, []
+        buf = write = None
         gen = self._host_epoch(
             None, shuffle=False, seed=0, drop_last=False, prefetch_size=2
         )
@@ -481,28 +513,46 @@ class LipNetBatcher:
                         u8 = True
                         store_dt = jnp.uint8
                         n_cached = self._budget_clip_count(1)
-                    to_bytes_jit = jax.jit(to_bytes, **rep_kw)
+                    row_bytes = jnp.dtype(store_dt).itemsize * int(
+                        np.prod(clip_shape)
+                    )
+                    buf = jax.jit(
+                        lambda: jnp.zeros((n_cached, row_bytes), jnp.int8),
+                        **rep_kw,
+                    )()
+                    if rep is None:
+                        wkw = {}
+                    else:
+                        wkw = {"out_shardings": (rep, rep) if u8 else rep}
+                    write = jax.jit(write_fn, donate_argnums=0, **wkw)
                 take = min(int(hb["valid"]), n_cached - got)
                 x = hb["video"][:take]
-                if u8 and parts:
-                    # ...later batches verify WITHOUT a sync (device bools,
-                    # fetched once after the loop) — a mixed-content corpus
-                    # whose tail stops being k/255-exact must not be stored
-                    # uint8
-                    u8_flags.append(u8_probe(x))
-                parts.append(to_bytes_jit(x))
+                if u8:
+                    # ...later batches re-verify WITHOUT a sync (device
+                    # bools, fetched once after the loop) — a mixed-content
+                    # corpus whose tail stops being k/255-exact must not be
+                    # stored uint8
+                    buf, ok = write(buf, x, got)
+                    if got:
+                        u8_flags.append((got, ok))
+                else:
+                    buf = write(buf, x, got)
                 got += take
                 if got >= n_cached:
                     break
         finally:
             gen.close()
-        if u8 and u8_flags and not all(map(bool, u8_flags)):
-            # keep only the verified-exact u8 prefix (parts[0] was probed
-            # at decision time); the remainder streams per epoch — partial
-            # cache semantics, still bit-identical everywhere
-            bad = next(i for i, f in enumerate(u8_flags) if not bool(f))
-            parts = parts[: bad + 1]
-        n_cached = got = sum(int(p.shape[0]) for p in parts)
+        if u8:
+            for start, ok in u8_flags:
+                if not bool(ok):
+                    # keep only the verified-exact u8 prefix (the first
+                    # batch was probed at decision time); rows past it stay
+                    # allocated but are never gathered — the remainder
+                    # streams per epoch (partial-cache semantics, still
+                    # bit-identical everywhere)
+                    got = start
+                    break
+        n_cached = got
         labels, lengths = self.source.labels_batch(
             list(range(n)), self.cfg.data.max_label_length,
             vocab=self.cfg.model.family,
@@ -529,9 +579,10 @@ class LipNetBatcher:
         # roughly independent of N. Crossover ~= 768 MB — above it, a
         # budget-limit corpus under 'auto' would otherwise spend more time
         # gathering (up to ~1.3 s/batch at 4 GB) than training.
-        clip_bytes = jnp.dtype(store_dt).itemsize * int(np.prod(clip_shape))
+        # decision uses the BUFFER size (what the matmul actually reads),
+        # which exceeds n_cached only on a mixed-corpus uint8 truncation
         max_mb = self.cfg.data.cache_gather_onehot_max_mb
-        use_onehot = n_cached * clip_bytes <= max_mb * 2**20
+        use_onehot = int(buf.shape[0]) * int(buf.shape[1]) <= max_mb * 2**20
 
         def gather(c, i):
             if use_onehot:
@@ -553,17 +604,13 @@ class LipNetBatcher:
         if self.mesh is not None:
             from avsync.parallel import batch_sharding
 
-            video = jax.jit(
-                lambda xs: jnp.concatenate(xs, axis=0), **rep_kw
-            )(parts)
             self._gather = jax.jit(
                 gather, out_shardings=batch_sharding(self.mesh)
             )
         else:
-            video = jnp.concatenate(parts, axis=0)
             self._gather = jax.jit(gather)
         self._device_cache = {
-            "video": video, "labels": labels, "label_lengths": lengths,
+            "video": buf, "labels": labels, "label_lengths": lengths,
             "n_cached": n_cached, "dtype": jnp.dtype(store_dt).name,
         }
 

@@ -444,12 +444,34 @@ class TestDeviceCache:
         forced = LipNetBatcher(
             GridDataSource(root),
             dataclasses.replace(
-                cfg, data=dataclasses.replace(
-                    cfg.data, device_cache_dtype="bfloat16"
+                bf16_cfg, data=dataclasses.replace(
+                    bf16_cfg.data, device_cache_dtype="bfloat16"
                 )
             ),
         )
         assert forced._cache_dtype() == jnp.bfloat16  # explicit override
+        # explicit bf16 under f32 compute would silently train cached
+        # epochs on bf16-rounded inputs -> refused, eagerly at __init__
+        # (a lazy failure would surface only after a full streamed epoch)
+        with pytest.raises(ValueError, match="compute_dtype"):
+            LipNetBatcher(
+                GridDataSource(root),
+                dataclasses.replace(
+                    cfg, data=dataclasses.replace(
+                        cfg.data, device_cache_dtype="bfloat16"
+                    )
+                ),
+            )
+        # invalid dtype strings are rejected eagerly too (not at epoch 2)
+        with pytest.raises(ValueError, match="device_cache_dtype"):
+            LipNetBatcher(
+                GridDataSource(root),
+                dataclasses.replace(
+                    cfg, data=dataclasses.replace(
+                        cfg.data, device_cache_dtype="uint8"
+                    )
+                ),
+            )
 
     def test_partial_cache_matches_streamed_exactly(self, tmp_path):
         """Corpus ~2.5x the cache budget: the budget-sized prefix is cached,
