@@ -394,6 +394,41 @@ class TestDeviceCache:
         for x, y in zip(a, b):  # cache epoch == warm-up (streamed) epoch
             np.testing.assert_array_equal(x["video"], y["video"])
 
+    def test_uint8_mixed_corpus_truncates_to_exact_prefix(self, tmp_path):
+        """A corpus whose TAIL stops being k/255-exact must not be stored
+        uint8 past the verified prefix: the build probes later batches
+        without a sync (device bool flags fetched once after the loop) and
+        truncates n_cached to the exact prefix; the remainder streams.
+
+        Host frames are always uint8 here, so a genuinely mixed corpus is
+        produced by tainting the preprocessed stream at the _host_epoch
+        seam (the real-world case is per-clip fractional ROI boxes, where
+        interpolation puts some clips off the k/255 grid)."""
+        import jax.numpy as jnp
+
+        root, cfg = self._corpus_cfg(tmp_path, "on")
+        b = LipNetBatcher(GridDataSource(root), cfg)
+        B = cfg.data.batch_size
+        orig = b._host_epoch
+
+        def tainted(*a, **kw):
+            for i, hb in enumerate(orig(*a, **kw)):
+                if i >= 1:  # push batches 1+ off the k/255 grid
+                    hb = dict(hb)
+                    hb["video"] = hb["video"] * (1.0 - 1e-3)
+                yield hb
+
+        b._host_epoch = tainted
+        b.warm_device_cache()
+        b._host_epoch = orig
+        c = b._device_cache
+        assert c["dtype"] == "uint8"  # first batch probed exact
+        assert c["n_cached"] == B  # truncated to the verified prefix
+        # the cached prefix still reproduces the exact streamed f32 values
+        rows = np.asarray(b._gather(c["video"], jnp.arange(B)))
+        first = next(iter(orig(B, shuffle=False, seed=0, drop_last=False)))
+        np.testing.assert_array_equal(rows, np.asarray(first["video"])[:B])
+
     def test_bf16_cache_post_cast_identical_to_streamed(self, tmp_path):
         """A standardized corpus fails the uint8 probe; under a
         bf16-computing model 'auto' then stores bfloat16: the TRAINING
