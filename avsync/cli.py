@@ -15,6 +15,8 @@
   python -m avsync.cli serve          — HTTP serving daemon with dynamic
                                         batching (TPU-native extra;
                                         avsync/serving.py)
+  python -m avsync.cli export         — AOT StableHLO serving artifact
+                                        (TPU-native extra; avsync/export.py)
 
 Flag names follow the reference argparse surfaces
 (`misalignment_detection_train.py:322-342`, `train.py:1080-1109`).
@@ -636,6 +638,33 @@ def cmd_quantize(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Serialize the full serving computation (preprocess + forward + CTC
+    decode, weights baked in, symbolic batch dim) as one StableHLO module
+    — the ahead-of-time deployment artifact (avsync/export.py). The
+    reference's closest analogue is 'load the .pth in Python'
+    (`predict.py:17-105`); this needs neither avsync nor the checkpoint on
+    the serving host."""
+    from avsync.export import export_transcriber
+
+    cfg = _config_from_args(args)
+    geom = None
+    if args.frame_geometry:
+        h, w = (int(v) for v in args.frame_geometry.lower().split("x"))
+        geom = (h, w)
+    art = export_transcriber(
+        args.checkpoint, cfg, frame_geometry=geom,
+        platforms=tuple(p.strip() for p in args.platforms.split(",")),
+    )
+    art.save(args.out)
+    m = art.meta
+    print(f"exported {args.out}: family={m['family']} "
+          f"frames=(b, {m['frame_shape'][0]}, {m['frame_shape'][1]}, "
+          f"{m['frame_shape'][2]}) uint8, roi={m['roi']}, "
+          f"platforms={m['platforms']}")
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Serving daemon: LipReader (+ optional MisalignmentScorer) behind a
     dynamic batcher and a stdlib HTTP surface (avsync/serving.py)."""
@@ -670,7 +699,10 @@ def cmd_serve(args) -> int:
     scorer = None
     if args.detector_checkpoint:
         scorer = SyncScoreService(
-            MisalignmentScorer(args.detector_checkpoint, args.checkpoint, cfg)
+            MisalignmentScorer(
+                args.detector_checkpoint, args.checkpoint, cfg
+            ),
+            max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
         )
     if getattr(args, "warmup", False):
         import time as _time
@@ -1283,6 +1315,22 @@ def build_parser() -> argparse.ArgumentParser:
                         "clips; a few representative ones suffice)")
     q.add_argument("--batch_size", type=int, default=None)
     q.set_defaults(fn=cmd_quantize)
+
+    ex = sub.add_parser("export",
+                        help="AOT StableHLO serving artifact (preprocess + "
+                             "forward + CTC decode, weights baked in)")
+    common(ex)
+    ex.add_argument("--checkpoint", type=str, required=True,
+                    help=".pth file or Orbax checkpoint dir")
+    ex.add_argument("--out", type=str, default="lipnet_serving.npz",
+                    help="output artifact (.npz: module + metadata)")
+    ex.add_argument("--frame_geometry", type=str, default=None,
+                    help="HxW of client frames; default = the model's "
+                         "native geometry (pre-cropped clips). Any other "
+                         "geometry bakes the on-device ROI program in")
+    ex.add_argument("--platforms", type=str, default="tpu,cpu",
+                    help="comma-separated lowering targets")
+    ex.set_defaults(fn=cmd_export)
 
     sv = sub.add_parser("serve",
                         help="HTTP serving daemon with dynamic batching")

@@ -732,19 +732,32 @@ class LipNetBatcher:
                     miss = np.where(idx >= n_cached)[0]
                     raw = boxes = None
                     if miss.size:
-                        decoded = list(pool.map(
-                            lambda j: self._decode_clip(
-                                self.source.samples[j].video_path
-                            ),
-                            idx[miss],
-                        ))
                         # PACKED rows: only the missed clips cross the host
                         # link (the whole point of the cache is saving H2D
                         # bytes — a full-B padded transfer would cost as
                         # much as pure streaming plus the gather)
                         cap = cap_of(miss.size)
+                        # Multihost: decode only the packed rows THIS
+                        # process's devices hold (put_with_sharding uploads
+                        # exactly those) — same 1/P decode discipline as
+                        # _host_epoch; without it every host would decode
+                        # every missed clip and the partial cache's host
+                        # work would be P times the streamed path's.
+                        plocal = self._local_rows(cap)
+                        if plocal is None:
+                            fill = np.arange(miss.size)
+                        else:
+                            fill = plocal[plocal < miss.size]
+                            if fill.size == 0:
+                                fill = np.array([0])  # shape donor only
+                        decoded = list(pool.map(
+                            lambda j: self._decode_clip(
+                                self.source.samples[j].video_path
+                            ),
+                            idx[miss[fill]],
+                        ))
                         raw = np.zeros((cap,) + decoded[0].shape, np.uint8)
-                        for k, r in enumerate(decoded):
+                        for k, r in zip(fill, decoded):
                             raw[k] = r
                         if self._host_roi_enabled() and raw.shape[2:] != (
                             d.img_height, d.img_width,
@@ -754,7 +767,15 @@ class LipNetBatcher:
                             # match streaming within one uint8 step (batch-
                             # composition ulp effects can flip round() at
                             # knife-edge pixels — TestHostRoi)
-                            raw = self._host_roi(raw)
+                            if plocal is None:
+                                raw = self._host_roi(raw)
+                            else:  # crop only the rows that carry content
+                                crops = self._host_roi(raw[fill])
+                                out = np.zeros(
+                                    (cap,) + crops.shape[1:], crops.dtype
+                                )
+                                out[fill] = crops
+                                raw = out
                         if self._detector is not None and raw.shape[2:] != (
                             d.img_height, d.img_width,
                         ):  # host-cascade ROI, as in _host_epoch
@@ -762,7 +783,7 @@ class LipNetBatcher:
                                    for r in decoded]
                             boxes = np.zeros((cap,) + det[0].shape,
                                              np.float32)
-                            for k, b in enumerate(det):
+                            for k, b in zip(fill, det):
                                 boxes[k] = b
                     yield {"idx": idx, "miss": miss, "raw": raw,
                            "boxes": boxes, "valid": valid}

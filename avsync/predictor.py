@@ -221,6 +221,9 @@ class LipReader:
             raise ValueError(f"unsupported quantize mode: {quantize!r}")
         self._quantize = quantize
         self._qparams = None
+        # set (briefly) by TranscribeService.warmup: warmup's dummy frames
+        # must never become the persistent int8 calibration set
+        self._warming = False
         self._fwd = jax.jit(
             lambda p, v: self.model.apply({"params": p}, v)
         )
@@ -331,6 +334,17 @@ class LipReader:
         if self._quantize is None:
             return self._fwd(self.params, clips)[:B]
         if self._qparams is None:  # lazy calibration on the first input
+            if self._warming:
+                # compile-only pass: scales are runtime inputs to the jitted
+                # _qfwd (not baked constants), so throwaway qparams from the
+                # dummy batch compile the bucket WITHOUT persisting — dummy
+                # all-zero frames would otherwise calibrate every layer to
+                # the degenerate absmax-0 fallback (scale 1.0 -> real [0,1]
+                # inputs round to 0/1) and silently garble all later traffic
+                from avsync.ops.quant import quantize_lipnet
+
+                qp = self._replicate(quantize_lipnet(self.params, [clips]))
+                return self._qfwd(qp, clips)[:B]
             self._build_qparams([clips])
         return self._qfwd(self._qparams, clips)[:B]
 

@@ -151,6 +151,11 @@ class DynamicBatcher:
         self.pad_to_bucket = pad_to_bucket
         self._queue: Queue = Queue()
         self._stop = threading.Event()
+        # serializes the submit-side stop-check+put against close(): without
+        # it a submit could pass the check, lose the CPU, and enqueue after
+        # the worker observed (stopped, empty) and exited — leaving that
+        # Future unresolved forever (an infer(timeout=None) would hang)
+        self._submit_lock = threading.Lock()
         self._worker = threading.Thread(
             target=self._run, name="avsync-batcher", daemon=True
         )
@@ -163,21 +168,25 @@ class DynamicBatcher:
         arrays for multi-part payloads — e.g. the raw serving transport's
         (frames, boxes)); resolves to its result. Rows batch only with rows
         of matching arity/geometry/dtype (see _run's grouping)."""
-        if self._stop.is_set():
-            raise RuntimeError("batcher is closed")
         single = not isinstance(row, tuple)
         payload = ((np.asarray(row),) if single
                    else tuple(np.asarray(p) for p in row))
         fut: Future = Future()
-        self._queue.put(_Item(payload, single, fut, time.perf_counter()))
+        with self._submit_lock:
+            if self._stop.is_set():
+                raise RuntimeError("batcher is closed")
+            self._queue.put(_Item(payload, single, fut, time.perf_counter()))
         return fut
 
     def infer(self, row: np.ndarray, timeout: Optional[float] = None) -> Any:
         return self.submit(row).result(timeout=timeout)
 
     def close(self) -> None:
-        """Drain the queue, then stop the worker."""
-        self._stop.set()
+        """Drain the queue, then stop the worker. Every Future enqueued
+        before close() resolves (the worker drains the queue before it
+        honors the stop flag); submits after close() raise instead."""
+        with self._submit_lock:
+            self._stop.set()
         self._worker.join(timeout=30.0)
 
     # -- worker side ---------------------------------------------------------
@@ -318,17 +327,27 @@ class TranscribeService:
             parts = self.reader.prepare_raw(frames)
         else:
             parts = (np.asarray(self.reader._prepare(frames)),)
-        b = 1
-        while True:
-            stacked = tuple(
-                np.concatenate([p] * b, axis=0) for p in parts
-            )
-            self.batcher._infer_fn(
-                stacked if self.transport == "raw" else stacked[0]
-            )
-            if b >= self.batcher.max_batch:
-                return
-            b = min(2 * b, self.batcher.max_batch)
+        # _warming keeps an uncalibrated int8 reader from adopting these
+        # dummy frames as its calibration set (compile still happens; the
+        # first real request calibrates on real data and reuses the
+        # compiled program). Real example `frames` passed by the caller
+        # also stay non-binding — calibrating on ONE clip repeated per
+        # bucket would be a worse scale estimate than the first real batch.
+        self.reader._warming = True
+        try:
+            b = 1
+            while True:
+                stacked = tuple(
+                    np.concatenate([p] * b, axis=0) for p in parts
+                )
+                self.batcher._infer_fn(
+                    stacked if self.transport == "raw" else stacked[0]
+                )
+                if b >= self.batcher.max_batch:
+                    return
+                b = min(2 * b, self.batcher.max_batch)
+        finally:
+            self.reader._warming = False
 
     def transcribe_path(self, video_path: str,
                         timeout: Optional[float] = None) -> str:
@@ -370,17 +389,21 @@ class SyncScoreService:
         payload = self.scorer.prepare_raw(frames, audio, fps, tuple(shifts))
         return self.batcher.infer(payload, timeout=timeout)
 
-    def warmup(self, shifts=(0,)) -> None:
+    def warmup(self, shifts=(0,), frames: Optional[np.ndarray] = None,
+               audio: Optional[np.ndarray] = None, fps: float = 25.0) -> None:
         """Compile every batch bucket of the fused scorer before traffic.
         The program is per (bucket, len(shifts), geometry); pass the shift
-        count clients will use (e.g. the demo's single shift 0)."""
+        count (and optionally example frames/audio at the clients' real
+        geometry) clients will use — e.g. the demo's single shift 0."""
         cfg = self.scorer.cfg
         d = cfg.data
-        frames = np.zeros(
-            (d.max_video_length, d.img_height, d.img_width), np.uint8
-        )
-        audio = np.zeros(1024, np.float32)
-        parts = self.scorer.prepare_raw(frames, audio, 25.0, tuple(shifts))
+        if frames is None:
+            frames = np.zeros(
+                (d.max_video_length, d.img_height, d.img_width), np.uint8
+            )
+        if audio is None:
+            audio = np.zeros(1024, np.float32)
+        parts = self.scorer.prepare_raw(frames, audio, fps, tuple(shifts))
         b = 1
         while True:
             stacked = tuple(

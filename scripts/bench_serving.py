@@ -57,28 +57,6 @@ def build_reader(quantize, tmpdir):
                      calibration_frames=calib if quantize else None)
 
 
-def warm_buckets(svc, clips, max_batch):
-    """Compile every bucket this service can dispatch (preprocess is
-    per-batch-size for the raw transport, the forward always is)."""
-    b = 1
-    while True:
-        if svc.transport == "raw":
-            payloads = [svc.reader.prepare_raw(clips[i % len(clips)])
-                        for i in range(b)]
-            stacked = tuple(
-                np.concatenate([p[j] for p in payloads], axis=0)
-                for j in range(len(payloads[0]))
-            )
-        else:
-            stacked = np.concatenate(
-                [np.asarray(svc.reader._prepare(clips[i % len(clips)]))
-                 for i in range(b)], axis=0)
-        svc.batcher._infer_fn(stacked)
-        if b >= max_batch:
-            return
-        b = min(2 * b, max_batch)
-
-
 def build_scorer(tmpdir):
     import jax
     import jax.numpy as jnp
@@ -124,20 +102,9 @@ def run_sync_sweep(scorer, clips_u8, clients_list, n_requests, max_batch,
         svc = SyncScoreService(scorer, max_batch=max_batch,
                                max_wait_ms=max_wait_ms)
         try:
-            # warm every bucket (the fused scorer compiles per B-bucket)
-            b = 1
-            while True:
-                stacked = tuple(
-                    np.concatenate(parts, axis=0) for parts in zip(
-                        *[scorer.prepare_raw(clips_u8[i % len(clips_u8)],
-                                             audios[i % len(audios)],
-                                             25.0, shifts)
-                          for i in range(b)])
-                )
-                scorer.score_payload_batch(stacked)
-                if b >= max_batch:
-                    break
-                b = min(2 * b, max_batch)
+            # warm every bucket (the fused scorer compiles per B-bucket) —
+            # the SAME warmup production uses, at the clients' geometry
+            svc.warmup(shifts=shifts, frames=clips_u8[0], audio=audios[0])
 
             per_client = max(1, n_requests // n_clients)
             errs = []
@@ -188,7 +155,7 @@ def run_sweep(reader, transport, clips_u8, clients_list, n_requests,
         svc = TranscribeService(reader, max_batch=max_batch,
                                 max_wait_ms=max_wait_ms, transport=transport)
         try:
-            warm_buckets(svc, clips_u8, max_batch)
+            svc.warmup(clips_u8[0])  # production's own bucket warmup
             per_client = max(1, n_requests // n_clients)
             errs = []
 

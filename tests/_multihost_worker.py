@@ -119,6 +119,78 @@ def run_scan_losses(corpus: str, ckpt_dir: str = None) -> tuple:
     return [round(x, 6) for x in losses], err
 
 
+def run_partial_cache(corpus: str) -> dict:
+    """Partial device cache under multi-controller: the budget-sized prefix
+    is cached, the rest streams per epoch. Each host must decode only the
+    missed rows ITS devices hold (the same _local_rows discipline as the
+    streamed path) — without it every host decodes every miss and the
+    partial cache costs P times the streamed path's host work. Returns the
+    epoch losses plus the post-build per-host decode count so the test can
+    assert the 1/P split."""
+    import numpy as np
+
+    from avsync.config import (
+        AvsyncConfig, DataConfig, ModelConfig, TrainConfig,
+    )
+    from avsync.data import GridDataSource, LipNetBatcher
+    from avsync.parallel import make_mesh
+    from avsync.train import LipNetTrainer
+    from avsync.utils.logging import Logger
+
+    cfg = AvsyncConfig(
+        model=ModelConfig(
+            vocab_size=39, hidden_dim=8,
+            conv_channels=(2, 3, 4),
+            conv_kernels=((3, 5, 5), (3, 5, 5), (3, 3, 3)),
+        ),
+        data=DataConfig(
+            data_path=corpus, batch_size=8,
+            img_width=64, img_height=48, max_video_length=24,
+            max_label_length=12,
+            # 1 MB budget over 288 kB f32 clips -> 3 of 16 clips cached;
+            # f32 pinned so the uint8-exact mode can't widen the prefix.
+            # 'auto' (not 'on': that pins the WHOLE corpus regardless of
+            # budget) — the cache builds on the second epoch() call
+            device_cache="auto", device_cache_budget_mb=1,
+            device_cache_dtype="float32",
+        ),
+        train=TrainConfig(learning_rate=1e-3, seed=7),
+    )
+    src = GridDataSource(corpus)
+    mesh = make_mesh((-1, 1))
+    batcher = LipNetBatcher(src, cfg, mesh=mesh)
+    counts = {"n": 0}
+    orig_decode = batcher._decode_clip
+
+    def counting_decode(path):
+        counts["n"] += 1
+        return orig_decode(path)
+
+    batcher._decode_clip = counting_decode
+    trainer = LipNetTrainer(cfg, mesh=mesh, log=Logger(None, console=False))
+    state = trainer.init_state(batcher.first_batch())
+    losses = []
+    decodes = []
+    # epoch 0 streams + (under 'auto') builds the cache prefix on its
+    # epoch() call; epochs 1-2 are the steady-state partial-cache regime
+    # whose decode counts the test asserts on
+    for epoch in range(3):
+        counts["n"] = 0
+        state, loss = trainer.train_epoch(
+            state, batcher.epoch(shuffle=True, seed=epoch)
+        )
+        losses.append(float(loss))
+        decodes.append(counts["n"])
+    assert batcher._device_cache is not None
+    n_cached = int(batcher._device_cache["n_cached"])
+    del state
+    return {
+        "losses": [round(x, 6) for x in np.asarray(losses).tolist()],
+        "n_cached": n_cached,
+        "epoch_decodes": decodes,
+    }
+
+
 def run_preempt(corpus: str, proc_id: int, ckpt_dir: str) -> dict:
     """Preemption drill on a dp x tp mesh: ONLY process 0 receives SIGTERM
     (mid-run skew — the worst case for a process-local stop flag). The
@@ -165,6 +237,7 @@ def run_preempt(corpus: str, proc_id: int, ckpt_dir: str) -> dict:
 def main() -> None:
     proc_id, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     corpus = sys.argv[4]
+    partial_corpus = sys.argv[5] if len(sys.argv) > 5 else None
 
     from avsync.parallel import multihost
 
@@ -195,6 +268,8 @@ def main() -> None:
         "ckpt_err": ckpt_err,
         "preempt": run_preempt(corpus, proc_id, corpus + "_preempt_ckpt"),
     }
+    if partial_corpus is not None:
+        out["partial"] = run_partial_cache(partial_corpus)
     print("RESULT " + json.dumps(out), flush=True)
 
 

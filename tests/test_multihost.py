@@ -50,14 +50,27 @@ def corpus(tmp_path_factory):
 
 
 @pytest.fixture(scope="module")
-def worker_results(corpus):
+def partial_corpus(tmp_path_factory):
+    # 288 kB f32 clips so the worker's 1 MB budget caches 3 of 16 — the
+    # PARTIAL-cache regime (prefix cached, remainder streams per epoch)
+    root = str(tmp_path_factory.mktemp("mh_partial"))
+    synthetic.write_corpus(
+        root, n_speakers=2, clips_per_speaker=8, preprocessed=True,
+        n_frames=24, height=48, width=64, seed=23, with_audio=False,
+    )
+    return root
+
+
+@pytest.fixture(scope="module")
+def worker_results(corpus, partial_corpus):
     port = _free_port()
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # worker sets platform via jax.config
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(i), "2", str(port), corpus],
+            [sys.executable, WORKER, str(i), "2", str(port), corpus,
+             partial_corpus],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True, env=env, cwd=REPO,
         )
@@ -141,3 +154,37 @@ class TestMultihost:
         np.testing.assert_allclose(
             a["cache"], a["stream"], rtol=2e-4, atol=1e-5
         )
+
+    def test_partial_cache_splits_decode_across_hosts(
+        self, worker_results, partial_corpus
+    ):
+        """Partial cache multi-controller: both processes train the same
+        model (losses agree and match a single-controller run), and each
+        host decodes only the missed rows its OWN devices hold — not every
+        miss in the batch (which would make partial-cache host work P times
+        the streamed path's)."""
+        a, b = worker_results
+        assert a["partial"]["losses"] == b["partial"]["losses"]
+        assert a["partial"]["n_cached"] == 3  # 1 MB // 288 kB f32
+        sys.path.insert(0, os.path.join(REPO, "tests"))
+        try:
+            import _multihost_worker as w
+        finally:
+            sys.path.pop(0)
+        single = w.run_partial_cache(partial_corpus)
+        assert single["n_cached"] == 3
+        np.testing.assert_allclose(
+            a["partial"]["losses"], single["losses"], rtol=2e-4, atol=1e-5
+        )
+        # 16 clips, 3 cached, B=8 -> 2 batches/epoch, 13 misses/epoch.
+        # Single-controller decodes ALL misses; each of the 2 hosts may
+        # decode at most its 4 owned packed rows per batch (8/epoch) —
+        # strictly fewer than the global miss count. A regression to
+        # global decode would make each host match the single-controller
+        # count. Epoch 0 is the streamed+cache-build epoch; assert on the
+        # steady-state epochs 1-2.
+        for r in (a, b):
+            per_host = r["partial"]["epoch_decodes"][1:]
+            for ep_multi, ep_single in zip(per_host,
+                                           single["epoch_decodes"][1:]):
+                assert ep_multi <= 8 < ep_single, (per_host, single)

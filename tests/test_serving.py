@@ -692,6 +692,33 @@ class TestWarmup:
         finally:
             svc.close()
 
+    def test_int8_warmup_does_not_calibrate_on_dummy(self, checkpoints):
+        from avsync.predictor import LipReader
+        from avsync.serving import TranscribeService
+
+        reader = LipReader(checkpoints["lipnet"], TINY, quantize="int8")
+        svc = TranscribeService(reader, max_batch=4, max_wait_ms=5.0)
+        try:
+            svc.warmup()
+            # the all-zero warmup frames must NOT become the persistent
+            # calibration set: their absmax-0 fallback scales (1.0) would
+            # binarize every real [0,1] input from then on. Warmup still
+            # compiles the buckets; calibration happens lazily on the
+            # first REAL batch.
+            assert reader._qparams is None
+            assert reader._warming is False
+            rng = np.random.default_rng(32)
+            frames = rng.integers(0, 255, (8, 16, 32), np.uint8)
+            got = svc.transcribe_frames(frames, timeout=60.0)
+            assert reader._qparams is not None
+            # same transcript as a fresh int8 reader that calibrated
+            # directly on this clip — proof the real batch, not the dummy,
+            # set the scales
+            fresh = LipReader(checkpoints["lipnet"], TINY, quantize="int8")
+            assert got == fresh.predict_frames(frames)
+        finally:
+            svc.close()
+
     def test_serve_warmup_flag_parses(self):
         from avsync.cli import build_parser
 
