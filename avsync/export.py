@@ -1,0 +1,195 @@
+"""Ahead-of-time serving export: one self-contained StableHLO artifact.
+
+The reference's deployment story is "import torch/TF and call the model
+from Python" (`predict.py:17-105`, `train.py:998-1075`). The TPU-native
+story is ahead-of-time: `avsync export` serializes the ENTIRE serving
+computation — device preprocess (uint8 -> f32 [-> on-device ROI crop] ->
+normalize), the LipNet forward, and the fused CTC greedy decode — as one
+StableHLO module via `jax.export`, with:
+
+  * weights baked in as constants (no checkpoint at load time),
+  * a SYMBOLIC batch dimension (one artifact serves every batch size with
+    no per-bucket recompiles on the loader side beyond XLA's own cache),
+  * multi-platform lowering (tpu + cpu by default), so the same bytes run
+    on a v5e serving pod and on a CPU canary.
+
+The artifact is an .npz: the serialized module plus a JSON metadata record
+(family, vocabulary, blank id, frame geometry, the full AvsyncConfig).
+Loading needs jax (for `jax.export.deserialize`) but NOT the avsync model
+code — `load_exported` is a convenience wrapper that also restores the
+id->text mapping from the metadata.
+
+Exported signature:  frames (b, T, H, W) uint8  ->
+    (decoded_ids (b, T') int32, lengths (b,) int32, log_probs (b, T', V))
+where T' is the model's time length after the conv stack (== T here) and
+ids map to characters via the embedded `id_to_char` table.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from avsync.config import AvsyncConfig
+
+_FORMAT = "avsync-stablehlo-v1"
+
+
+def _vocab_meta(cfg: AvsyncConfig) -> dict:
+    from avsync import text as textlib
+
+    if cfg.model.family == "tf":
+        return {
+            "blank_id": textlib.TF_BLANK_ID,
+            "id_to_char": {
+                str(i): c for i, c in textlib.TF_IDX_TO_CHAR.items()
+            },
+        }
+    return {
+        "blank_id": textlib.BLANK_ID,
+        "id_to_char": {
+            str(i): c
+            for i, c in textlib.IDX_TO_CHAR.items()
+            if len(c) == 1  # skip <blank>/<pad> sentinels
+        },
+    }
+
+
+def export_transcriber(
+    checkpoint: str,
+    cfg: Optional[AvsyncConfig] = None,
+    frame_geometry: Optional[Tuple[int, int]] = None,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+) -> "ExportedTranscriber":
+    """Build the AOT transcription artifact (in memory; see `save`).
+
+    frame_geometry: (H, W) of the CLIENT's frames. Defaults to the model's
+    native (img_height, img_width) = pre-cropped mouth clips; any other
+    geometry bakes the on-device ROI program in front of the model, so the
+    artifact consumes raw full frames. ROI modes that need host-side work
+    ('detector', the OpenCV cascade) cannot be exported — the exported
+    module must be a single device program.
+    """
+    import jax
+    from jax import export as jexport
+
+    from avsync import text as textlib
+    from avsync.models import make_lipnet
+    from avsync.predictor import (
+        _load_params,
+        get_preprocess_fn,
+        load_localizer_params,
+    )
+
+    cfg = cfg or AvsyncConfig()
+    d = cfg.data
+    H, W = frame_geometry or (d.img_height, d.img_width)
+    native = (H, W) != (d.img_height, d.img_width)
+    if native and d.roi_mode == "detector":
+        raise ValueError(
+            "roi_mode='detector' runs a host-side cascade; export supports "
+            "the on-device ROI modes ('model', 'variance', heuristic) or "
+            "pre-cropped native-geometry frames"
+        )
+    model = make_lipnet(cfg.model)
+    params = _load_params(checkpoint, cfg)
+    loc = load_localizer_params(cfg) if native else None
+    T = d.max_video_length
+    prep = get_preprocess_fn(cfg, (T, H, W), has_boxes=False,
+                             localizer_params=loc)
+    blank_id = (textlib.TF_BLANK_ID if cfg.model.family == "tf"
+                else textlib.BLANK_ID)
+
+    def serve(frames):
+        clips = prep(frames)
+        log_probs = model.apply({"params": params}, clips)
+        ids, lengths = textlib.ctc_greedy_decode(log_probs, blank_id)
+        return ids, lengths, log_probs
+
+    b = jexport.symbolic_shape("b")[0]
+    spec = jax.ShapeDtypeStruct((b, T, H, W), np.uint8)
+    exported = jexport.export(jax.jit(serve), platforms=list(platforms))(
+        spec
+    )
+    meta = {
+        "format": _FORMAT,
+        "family": cfg.model.family,
+        "frame_shape": [T, H, W],
+        "input_dtype": "uint8",
+        "roi": ("embedded:" + d.roi_mode) if native else "none (pre-cropped)",
+        "platforms": list(platforms),
+        "outputs": ["decoded_ids (b, T) int32", "lengths (b,) int32",
+                    "log_probs (b, T, V)"],
+        "jax_version": jax.__version__,
+        "config": cfg.to_dict(),
+        **_vocab_meta(cfg),
+    }
+    return ExportedTranscriber(exported, meta)
+
+
+class ExportedTranscriber:
+    """A (de)serialized AOT transcription artifact.
+
+    `call` executes the module (any batch size — the batch dim is
+    symbolic); `transcribe` adds the host-side id->text join using the
+    embedded vocabulary, independent of avsync's text module.
+    """
+
+    def __init__(self, exported, meta: dict):
+        self._exported = exported
+        self.meta = meta
+        self._id_to_char = {
+            int(k): v for k, v in meta["id_to_char"].items()
+        }
+
+    def save(self, path: str) -> None:
+        blob = np.frombuffer(self._exported.serialize(), dtype=np.uint8)
+        np.savez(path, module=blob, meta=json.dumps(self.meta))
+
+    def call(self, frames: np.ndarray):
+        """frames (B, T, H, W) uint8 (or (T, H, W), auto-batched; short
+        clips zero-padded on T) -> (ids, lengths, log_probs) np arrays."""
+        frames = np.asarray(frames)
+        if frames.ndim == 3:
+            frames = frames[None]
+        T, H, W = self.meta["frame_shape"]
+        if frames.shape[2:] != (H, W):
+            raise ValueError(
+                f"artifact expects {H}x{W} frames, got "
+                f"{frames.shape[2]}x{frames.shape[3]} — re-export with "
+                f"frame_geometry=({frames.shape[2]}, {frames.shape[3]})"
+            )
+        if frames.shape[1] < T:  # same zero-pad as predictor.pad_frames
+            pad = np.zeros(
+                (frames.shape[0], T - frames.shape[1], H, W), frames.dtype
+            )
+            frames = np.concatenate([frames, pad], axis=1)
+        frames = frames[:, :T].astype(np.uint8)
+        ids, lengths, log_probs = self._exported.call(frames)
+        return (np.asarray(ids), np.asarray(lengths),
+                np.asarray(log_probs))
+
+    def transcribe(self, frames: np.ndarray):
+        ids, lengths, _ = self.call(frames)
+        return [
+            "".join(
+                self._id_to_char.get(int(i), "")
+                for i in ids[r, : int(lengths[r])]
+            )
+            for r in range(ids.shape[0])
+        ]
+
+
+def load_exported(path: str) -> ExportedTranscriber:
+    from jax import export as jexport
+
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["meta"]))
+        if meta.get("format") != _FORMAT:
+            raise ValueError(
+                f"not an avsync export artifact: format={meta.get('format')!r}"
+            )
+        exported = jexport.deserialize(z["module"].tobytes())
+    return ExportedTranscriber(exported, meta)

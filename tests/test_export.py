@@ -1,0 +1,199 @@
+"""AOT export tests (avsync/export.py): the serialized StableHLO artifact
+must reproduce the live LipReader exactly — preprocess, forward and CTC
+decode are all inside the module — across batch sizes (symbolic batch
+dim), model families, and the embedded-ROI full-frame geometry.
+
+The reference has no ahead-of-time deployment story (its inference path
+re-imports torch/TF and the checkpoint, `predict.py:17-105`,
+`train.py:998-1075`); this is the TPU-native one.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from avsync.config import AvsyncConfig, DataConfig, ModelConfig
+from avsync.export import export_transcriber, load_exported
+
+TINY = AvsyncConfig(
+    data=DataConfig(img_height=16, img_width=32, max_video_length=8),
+    model=ModelConfig(hidden_dim=8, conv_channels=(2, 3, 4)),
+)
+
+
+@pytest.fixture(scope="module")
+def lip_ckpt(tmp_path_factory):
+    from avsync.compat import save_lipnet_pth
+    from avsync.models import LipNet
+
+    root = tmp_path_factory.mktemp("exportd")
+    model = LipNet(TINY.model)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 8, 16, 32, 1))
+    )["params"]
+    path = str(root / "lipnet.pth")
+    save_lipnet_pth(jax.device_get(params), path, conv_shape=(4, 2, 4))
+    return path
+
+
+@pytest.fixture(scope="module")
+def artifact(lip_ckpt, tmp_path_factory):
+    # 'tpu' included: cross-platform lowering must succeed without a TPU
+    # attached (the artifact's whole point is build-here, run-there)
+    art = export_transcriber(lip_ckpt, TINY, platforms=("tpu", "cpu"))
+    path = str(tmp_path_factory.mktemp("exporta") / "lipnet_serving.npz")
+    art.save(path)
+    return path
+
+
+class TestExportedTranscriber:
+    def test_roundtrip_matches_live_reader(self, lip_ckpt, artifact):
+        from avsync.predictor import LipReader
+
+        back = load_exported(artifact)
+        reader = LipReader(lip_ckpt, TINY)
+        rng = np.random.default_rng(5)
+        frames = rng.integers(0, 255, (3, 8, 16, 32), np.uint8)
+        got = back.transcribe(frames)
+        assert got == [reader.predict_frames(frames[i]) for i in range(3)]
+        ids, lengths, log_probs = back.call(frames)
+        clips = jnp.concatenate([reader._prepare(f) for f in frames])
+        np.testing.assert_allclose(
+            log_probs, np.asarray(reader._logprobs(clips)),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_symbolic_batch_dim(self, artifact):
+        """ONE artifact serves every batch size; per-row results must not
+        depend on the batch it rode in."""
+        back = load_exported(artifact)
+        rng = np.random.default_rng(7)
+        frames = rng.integers(0, 255, (8, 8, 16, 32), np.uint8)
+        _, _, lp8 = back.call(frames)
+        for B in (1, 3, 8):
+            _, _, lp = back.call(frames[:B])
+            np.testing.assert_allclose(lp, lp8[:B], rtol=1e-5, atol=1e-6)
+
+    def test_short_clip_zero_padded(self, lip_ckpt, artifact):
+        from avsync.predictor import LipReader
+
+        back = load_exported(artifact)
+        reader = LipReader(lip_ckpt, TINY)
+        rng = np.random.default_rng(9)
+        short = rng.integers(0, 255, (5, 16, 32), np.uint8)  # T=5 < 8
+        assert back.transcribe(short) == [reader.predict_frames(short)]
+
+    def test_metadata_self_describes(self, artifact):
+        with np.load(artifact, allow_pickle=False) as z:
+            meta = json.loads(str(z["meta"]))
+        assert meta["format"] == "avsync-stablehlo-v1"
+        assert meta["family"] == "pytorch"
+        assert meta["frame_shape"] == [8, 16, 32]
+        assert meta["blank_id"] == 0
+        assert meta["id_to_char"]["1"] == "a"
+        assert meta["platforms"] == ["tpu", "cpu"]
+        # full config embedded — a loader can rebuild the exact AvsyncConfig
+        assert AvsyncConfig.from_dict(meta["config"]).data.img_width == 32
+
+    def test_wrong_geometry_rejected(self, artifact):
+        back = load_exported(artifact)
+        with pytest.raises(ValueError, match="expects 16x32"):
+            back.call(np.zeros((1, 8, 20, 40), np.uint8))
+
+    def test_non_artifact_rejected(self, tmp_path):
+        bogus = str(tmp_path / "bogus.npz")
+        np.savez(bogus, module=np.zeros(4, np.uint8),
+                 meta=json.dumps({"format": "other"}))
+        with pytest.raises(ValueError, match="not an avsync export"):
+            load_exported(bogus)
+
+
+class TestRoiExport:
+    def test_full_frame_geometry_embeds_roi(self, lip_ckpt, tmp_path):
+        """Exporting at a non-native geometry bakes the on-device ROI
+        program in front of the model — the artifact consumes raw full
+        frames and must match the live reader on the same frames."""
+        from avsync.predictor import LipReader
+
+        art = export_transcriber(
+            lip_ckpt, TINY, frame_geometry=(32, 64), platforms=("cpu",)
+        )
+        path = str(tmp_path / "roi_serving.npz")
+        art.save(path)
+        back = load_exported(path)
+        assert back.meta["roi"].startswith("embedded:")
+        reader = LipReader(lip_ckpt, TINY)
+        rng = np.random.default_rng(11)
+        frames = rng.integers(0, 255, (2, 8, 32, 64), np.uint8)
+        got = back.transcribe(frames)
+        assert got == [reader.predict_frames(frames[i]) for i in range(2)]
+
+    def test_host_cascade_roi_not_exportable(self, lip_ckpt):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            TINY, data=dataclasses.replace(TINY.data, roi_mode="detector")
+        )
+        with pytest.raises(ValueError, match="detector"):
+            export_transcriber(lip_ckpt, cfg, frame_geometry=(32, 64),
+                               platforms=("cpu",))
+
+
+class TestTfFamilyExport:
+    def test_tf_family_roundtrip(self, tmp_path):
+        """TF-family export: blank-last 32-way decode + per-clip
+        standardization travel inside the module."""
+        from avsync.models import make_lipnet
+        from avsync.predictor import LipReader
+        from avsync.utils.checkpoint import CheckpointManager
+
+        cfg = AvsyncConfig(
+            data=DataConfig(img_height=16, img_width=32, max_video_length=8,
+                            standardize_clips=True),
+            model=ModelConfig(family="tf", hidden_dim=4,
+                              conv_channels=(2, 3, 4)),
+        )
+        model = make_lipnet(cfg.model)
+        params = model.init(
+            {"params": jax.random.PRNGKey(2)}, jnp.zeros((1, 8, 16, 32, 1))
+        )["params"]
+        ckpt_dir = str(tmp_path / "tf_ckpt")
+        mgr = CheckpointManager(ckpt_dir)
+        mgr.save(1, {"params": params}, config=cfg)
+        mgr.close()
+
+        art = export_transcriber(ckpt_dir, cfg, platforms=("cpu",))
+        path = str(tmp_path / "tf_serving.npz")
+        art.save(path)
+        back = load_exported(path)
+        assert back.meta["family"] == "tf"
+        assert back.meta["blank_id"] == 31
+        reader = LipReader(ckpt_dir, cfg)
+        rng = np.random.default_rng(13)
+        frames = rng.integers(0, 255, (2, 8, 16, 32), np.uint8)
+        assert back.transcribe(frames) == [
+            reader.predict_frames(frames[i]) for i in range(2)
+        ]
+
+
+class TestExportCli:
+    def test_cmd_export_writes_artifact(self, lip_ckpt, tmp_path, capsys):
+        from avsync.cli import build_parser
+
+        out = str(tmp_path / "cli_serving.npz")
+        cfg_path = str(tmp_path / "tiny.json")
+        with open(cfg_path, "w") as f:
+            f.write(TINY.to_json())
+        args = build_parser().parse_args([
+            "export", "--checkpoint", lip_ckpt, "--config", cfg_path,
+            "--out", out, "--platforms", "cpu",
+        ])
+        assert args.fn(args) == 0
+        assert os.path.exists(out)
+        assert "exported" in capsys.readouterr().out
+        back = load_exported(out)
+        assert back.meta["frame_shape"] == [8, 16, 32]
