@@ -645,20 +645,27 @@ def cmd_export(args) -> int:
     reference's closest analogue is 'load the .pth in Python'
     (`predict.py:17-105`); this needs neither avsync nor the checkpoint on
     the serving host."""
-    from avsync.export import export_transcriber
+    from avsync.export import export_sync_scorer, export_transcriber
 
     cfg = _config_from_args(args)
     geom = None
     if args.frame_geometry:
         h, w = (int(v) for v in args.frame_geometry.lower().split("x"))
         geom = (h, w)
-    art = export_transcriber(
-        args.checkpoint, cfg, frame_geometry=geom,
-        platforms=tuple(p.strip() for p in args.platforms.split(",")),
-    )
+    platforms = tuple(p.strip() for p in args.platforms.split(","))
+    if args.detector_checkpoint:
+        art = export_sync_scorer(
+            args.detector_checkpoint, args.checkpoint, cfg,
+            num_shifts=args.shifts_per_request, frame_geometry=geom,
+            platforms=platforms,
+        )
+    else:
+        art = export_transcriber(
+            args.checkpoint, cfg, frame_geometry=geom, platforms=platforms,
+        )
     art.save(args.out)
     m = art.meta
-    print(f"exported {args.out}: family={m['family']} "
+    print(f"exported {args.out}: kind={m['kind']} family={m['family']} "
           f"frames=(b, {m['frame_shape'][0]}, {m['frame_shape'][1]}, "
           f"{m['frame_shape'][2]}) uint8, roi={m['roi']}, "
           f"platforms={m['platforms']}")
@@ -1330,6 +1337,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "geometry bakes the on-device ROI program in")
     ex.add_argument("--platforms", type=str, default="tpu,cpu",
                     help="comma-separated lowering targets")
+    ex.add_argument("--detector_checkpoint", type=str, default=None,
+                    help="export the fused sync-scoring pipeline (this "
+                         "detector + --checkpoint LipNet) instead of the "
+                         "transcriber")
+    ex.add_argument("--shifts_per_request", type=int, default=1,
+                    help="K of the sync-scorer artifact (static per "
+                         "module, like live serving's per-K programs)")
     ex.set_defaults(fn=cmd_export)
 
     sv = sub.add_parser("serve",

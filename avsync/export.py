@@ -23,6 +23,13 @@ Exported signature:  frames (b, T, H, W) uint8  ->
     (decoded_ids (b, T') int32, lengths (b,) int32, log_probs (b, T', V))
 where T' is the model's time length after the conv stack (== T here) and
 ids map to characters via the embedded `id_to_char` table.
+
+`export_sync_scorer` does the same for the flagship misalignment
+pipeline: preprocess + frozen conv visual stats + fused
+shift->MFCC->stats + detector head in one module,
+    (frames (b,T,H,W) u8, audio (b,S) f32, audio_len (b,) i32,
+     fps (b,) f32, shifts (b,K) i32) -> sync_probs (b,K) f32
+with K (shifts per request) static per artifact and b symbolic.
 """
 
 from __future__ import annotations
@@ -115,6 +122,7 @@ def export_transcriber(
     )
     meta = {
         "format": _FORMAT,
+        "kind": "transcriber",
         "family": cfg.model.family,
         "frame_shape": [T, H, W],
         "input_dtype": "uint8",
@@ -182,7 +190,132 @@ class ExportedTranscriber:
         ]
 
 
-def load_exported(path: str) -> ExportedTranscriber:
+def export_sync_scorer(
+    detector_checkpoint: str,
+    lipnet_checkpoint: str,
+    cfg: Optional[AvsyncConfig] = None,
+    num_shifts: int = 1,
+    frame_geometry: Optional[Tuple[int, int]] = None,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+) -> "ExportedSyncScorer":
+    """AOT artifact for the misalignment pipeline: ONE module computing
+    preprocess -> frozen conv visual stats -> fused shift->MFCC->stats ->
+    detector head, both checkpoints baked in.
+
+    num_shifts (K) is static per artifact (the fused program is per-K in
+    live serving too — `SyncScoreService.warmup`); batch stays symbolic.
+    """
+    import jax
+    from jax import export as jexport
+
+    from avsync.predictor import MisalignmentScorer, get_preprocess_fn
+
+    cfg_in = cfg or AvsyncConfig()
+    scorer = MisalignmentScorer(detector_checkpoint, lipnet_checkpoint,
+                                cfg_in)
+    cfg = scorer.cfg
+    d = cfg.data
+    H, W = frame_geometry or (d.img_height, d.img_width)
+    native = (H, W) != (d.img_height, d.img_width)
+    if native and d.roi_mode == "detector":
+        raise ValueError(
+            "roi_mode='detector' runs a host-side cascade; export supports "
+            "the on-device ROI modes or pre-cropped native-geometry frames"
+        )
+    T = d.max_video_length
+    S = cfg.audio.max_audio_samples
+    prep = get_preprocess_fn(cfg, (T, H, W), has_boxes=False,
+                             localizer_params=scorer._loc_params)
+    det_params, lip_params = scorer.det_params, scorer.lip_params
+    score_batch = scorer._score_batch
+
+    def serve(frames, audio, audio_len, fps, shifts):
+        clips = prep(frames)
+        return score_batch(det_params, lip_params, clips, audio,
+                           audio_len, fps, shifts)
+
+    b = jexport.symbolic_shape("b")[0]
+    K = int(num_shifts)
+    specs = (
+        jax.ShapeDtypeStruct((b, T, H, W), np.uint8),
+        jax.ShapeDtypeStruct((b, S), np.float32),
+        jax.ShapeDtypeStruct((b,), np.int32),
+        jax.ShapeDtypeStruct((b,), np.float32),
+        jax.ShapeDtypeStruct((b, K), np.int32),
+    )
+    exported = jexport.export(jax.jit(serve), platforms=list(platforms))(
+        *specs
+    )
+    meta = {
+        "format": _FORMAT,
+        "kind": "sync_scorer",
+        "family": cfg.model.family,
+        "frame_shape": [T, H, W],
+        "max_audio_samples": S,
+        "num_shifts": K,
+        "input_dtype": "uint8 frames, f32 audio",
+        "roi": ("embedded:" + d.roi_mode) if native else "none (pre-cropped)",
+        "platforms": list(platforms),
+        "outputs": ["sync_probs (b, K) f32"],
+        "jax_version": jax.__version__,
+        "config": cfg.to_dict(),
+    }
+    return ExportedSyncScorer(exported, meta)
+
+
+class ExportedSyncScorer:
+    """A (de)serialized AOT sync-scoring artifact."""
+
+    def __init__(self, exported, meta: dict):
+        self._exported = exported
+        self.meta = meta
+
+    def save(self, path: str) -> None:
+        blob = np.frombuffer(self._exported.serialize(), dtype=np.uint8)
+        np.savez(path, module=blob, meta=json.dumps(self.meta))
+
+    def call(self, frames, audio, audio_len, fps, shifts):
+        """Batched raw call; all arrays batch-first, shapes as in meta."""
+        out = self._exported.call(
+            np.ascontiguousarray(frames, np.uint8),
+            np.ascontiguousarray(audio, np.float32),
+            np.asarray(audio_len, np.int32),
+            np.asarray(fps, np.float32),
+            np.asarray(shifts, np.int32),
+        )
+        return np.asarray(out)
+
+    def score_arrays(self, frames: np.ndarray, audio: np.ndarray,
+                     fps: float, shifts: Sequence[int]) -> np.ndarray:
+        """One clip -> (K,) sync probabilities — the exported counterpart
+        of `MisalignmentScorer.score_arrays` (same host-side padding)."""
+        T, H, W = self.meta["frame_shape"]
+        S = self.meta["max_audio_samples"]
+        shifts = np.asarray(shifts, np.int32)
+        if shifts.shape != (self.meta["num_shifts"],):
+            raise ValueError(
+                f"artifact was exported for {self.meta['num_shifts']} "
+                f"shifts per request, got {shifts.shape}"
+            )
+        frames = np.asarray(frames)
+        if frames.shape[1:] != (H, W):
+            raise ValueError(
+                f"artifact expects {H}x{W} frames, got {frames.shape[1:]}"
+            )
+        fbuf = np.zeros((1, T, H, W), np.uint8)
+        fbuf[0, : min(len(frames), T)] = frames[:T]
+        a = np.asarray(audio, np.float32)[:S]
+        abuf = np.zeros((1, S), np.float32)
+        abuf[0, : len(a)] = a
+        return self.call(
+            fbuf, abuf, np.array([len(a)], np.int32),
+            np.array([fps], np.float32), shifts[None],
+        )[0]
+
+
+def load_exported(path: str):
+    """Load either artifact kind; returns ExportedTranscriber or
+    ExportedSyncScorer per the embedded metadata."""
     from jax import export as jexport
 
     with np.load(path, allow_pickle=False) as z:
@@ -192,4 +325,6 @@ def load_exported(path: str) -> ExportedTranscriber:
                 f"not an avsync export artifact: format={meta.get('format')!r}"
             )
         exported = jexport.deserialize(z["module"].tobytes())
+    if meta.get("kind", "transcriber") == "sync_scorer":
+        return ExportedSyncScorer(exported, meta)
     return ExportedTranscriber(exported, meta)

@@ -180,6 +180,84 @@ class TestTfFamilyExport:
         ]
 
 
+class TestSyncScorerExport:
+    @pytest.fixture(scope="class")
+    def det_ckpt(self, tmp_path_factory):
+        from avsync.compat import save_detector_pth
+        from avsync.models import MisalignmentDetector
+
+        root = tmp_path_factory.mktemp("exportdet")
+        det_model = MisalignmentDetector(hidden_dim=16)
+        feat_dim = 2 * (4 * 2 * 4) + 40
+        dp = det_model.init(
+            {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, feat_dim))
+        )["params"]
+        path = str(root / "detector.pth")
+        save_detector_pth(
+            jax.device_get(dp), path, feat_dim, 16,
+            {"sample_rate": 16000, "n_mfcc": 20, "max_shift_frames": 10},
+            conv_shape=(4, 2, 4), n_audio_feats=40,
+        )
+        return path
+
+    def test_sync_scorer_roundtrip(self, lip_ckpt, det_ckpt, tmp_path):
+        """The exported fused pipeline (preprocess + conv stats +
+        shift->MFCC->stats + detector) must match the live scorer per
+        (clip, shift) pair, across batch sizes."""
+        import dataclasses
+
+        from avsync.export import export_sync_scorer
+        from avsync.predictor import MisalignmentScorer
+
+        cfg = dataclasses.replace(
+            TINY, audio=dataclasses.replace(
+                TINY.audio, max_audio_samples=8000
+            )
+        )
+        art = export_sync_scorer(det_ckpt, lip_ckpt, cfg, num_shifts=2,
+                                 platforms=("cpu",))
+        path = str(tmp_path / "sync_serving.npz")
+        art.save(path)
+        back = load_exported(path)
+        assert back.meta["kind"] == "sync_scorer"
+        assert back.meta["num_shifts"] == 2
+        live = MisalignmentScorer(det_ckpt, lip_ckpt, cfg)
+        rng = np.random.default_rng(17)
+        frames = rng.integers(0, 255, (8, 16, 32), np.uint8)
+        audio = (rng.standard_normal(4000) * 0.2).astype(np.float32)
+        got = back.score_arrays(frames, audio, 25.0, shifts=(0, 2))
+        want = live.score_arrays(frames, audio, 25.0, shifts=(0, 2))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        # symbolic batch: a 3-row call reproduces the single-row scores
+        fb = np.zeros((3, 8, 16, 32), np.uint8)
+        fb[:] = frames
+        ab = np.zeros((3, 8000), np.float32)
+        ab[:, :4000] = audio
+        probs = back.call(
+            fb, ab, np.full(3, 4000, np.int32), np.full(3, 25.0, np.float32),
+            np.tile(np.array([[0, 2]], np.int32), (3, 1)),
+        )
+        assert probs.shape == (3, 2)
+        for r in range(3):
+            np.testing.assert_allclose(probs[r], want, rtol=1e-5, atol=1e-6)
+
+    def test_shift_count_mismatch_rejected(self, lip_ckpt, det_ckpt,
+                                           tmp_path):
+        from avsync.export import export_sync_scorer
+
+        art = export_sync_scorer(det_ckpt, lip_ckpt, TINY, num_shifts=1,
+                                 platforms=("cpu",))
+        path = str(tmp_path / "sync1.npz")
+        art.save(path)
+        back = load_exported(path)
+        rng = np.random.default_rng(19)
+        with pytest.raises(ValueError, match="1 shifts per request"):
+            back.score_arrays(
+                rng.integers(0, 255, (8, 16, 32), np.uint8),
+                np.zeros(100, np.float32), 25.0, shifts=(0, 2),
+            )
+
+
 class TestExportCli:
     def test_cmd_export_writes_artifact(self, lip_ckpt, tmp_path, capsys):
         from avsync.cli import build_parser
