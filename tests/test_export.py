@@ -99,6 +99,29 @@ class TestExportedTranscriber:
         # full config embedded — a loader can rebuild the exact AvsyncConfig
         assert AvsyncConfig.from_dict(meta["config"]).data.img_width == 32
 
+    def test_loadable_without_avsync(self, lip_ckpt, artifact):
+        """The deployment claim: a host with ONLY jax can run the artifact
+        — jax.export.deserialize + the embedded JSON metadata, no avsync
+        imports in the load path."""
+        from jax import export as jexport
+
+        from avsync.predictor import LipReader
+
+        with np.load(artifact, allow_pickle=False) as z:
+            meta = json.loads(str(z["meta"]))
+            module = jexport.deserialize(z["module"].tobytes())
+        rng = np.random.default_rng(15)
+        frames = rng.integers(0, 255, (2, 8, 16, 32), np.uint8)
+        ids, lengths, _ = (np.asarray(x) for x in module.call(frames))
+        id_to_char = {int(k): v for k, v in meta["id_to_char"].items()}
+        texts = [
+            "".join(id_to_char.get(int(i), "")
+                    for i in ids[r, : int(lengths[r])])
+            for r in range(2)
+        ]
+        reader = LipReader(lip_ckpt, TINY)
+        assert texts == [reader.predict_frames(frames[i]) for i in range(2)]
+
     def test_wrong_geometry_rejected(self, artifact):
         back = load_exported(artifact)
         with pytest.raises(ValueError, match="expects 16x32"):
