@@ -460,20 +460,9 @@ def _evaluate(trainer, state, batcher, source, out_json: str, num_print: int = 5
     )
     qfwd = qparams = None
     if quantize == "int8":
-        import jax
+        from avsync.ops.quant import make_int8_forward, quantize_lipnet
 
-        from avsync.ops.quant import (
-            lipnet_int8_apply,
-            quantize_lipnet,
-            tflipnet_int8_apply,
-        )
-
-        if trainer.config.model.family == "tf":
-            tcfg = trainer.model.cfg  # the resolved TFModelConfig
-            qfwd = jax.jit(lambda qp, v: tflipnet_int8_apply(qp, v, tcfg))
-        else:
-            mcfg = trainer.config.model
-            qfwd = jax.jit(lambda qp, v: lipnet_int8_apply(qp, v, mcfg))
+        qfwd = make_int8_forward(trainer.model, trainer.config.model)
     preds: List[str] = []
     targets: List[str] = []
     idx = 0
@@ -563,21 +552,10 @@ def cmd_infer(args) -> int:
         frames, cfg, load_localizer_params(cfg), load_mouth_detector(cfg)
     )
     if getattr(args, "quantize", None) == "int8":
-        from avsync.ops.quant import (
-            lipnet_int8_apply,
-            quantize_lipnet,
-            tflipnet_int8_apply,
-        )
+        from avsync.ops.quant import make_int8_forward, quantize_lipnet
 
         qparams = quantize_lipnet(params, [clips])
-        if cfg.model.family == "tf":
-            log_probs = jax.jit(
-                lambda qp, v: tflipnet_int8_apply(qp, v, model.cfg)
-            )(qparams, clips)
-        else:
-            log_probs = jax.jit(
-                lambda qp, v: lipnet_int8_apply(qp, v, cfg.model)
-            )(qparams, clips)
+        log_probs = make_int8_forward(model, cfg.model)(qparams, clips)
     else:
         log_probs = jax.jit(lambda p, v: model.apply({"params": p}, v))(params, clips)
     pred = decode(log_probs, beam_width=args.beam)[0]

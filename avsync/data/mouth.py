@@ -14,6 +14,7 @@ host does detection only — no pixel shuffling in Python.
 from __future__ import annotations
 
 import os
+import threading
 from typing import Optional, Tuple
 
 import numpy as np
@@ -43,6 +44,10 @@ class MouthDetector:
         self.padding_px = padding_px
         self._face = None
         self._mouth = None
+        # cv2.CascadeClassifier.detectMultiScale is not thread-safe; the
+        # serving daemon calls one shared detector from concurrent HTTP
+        # handler threads (predictor.py), so detection is serialized here.
+        self._lock = threading.Lock()
         face_xml = _find_cascade("haarcascade_frontalface_default.xml")
         mouth_xml = _find_cascade("haarcascade_smile.xml")
         if face_xml and mouth_xml:
@@ -63,7 +68,8 @@ class MouthDetector:
         fixed crop when detection fails (`train.py:130-138,190-203`)."""
         H, W = gray.shape[:2]
         if self.use_cascade:
-            box = self._detect_cascade(gray)
+            with self._lock:
+                box = self._detect_cascade(gray)
             if box is not None:
                 y0, y1, x0, x1 = box
                 return (

@@ -44,6 +44,41 @@ from avsync.config import AvsyncConfig
 _FORMAT = "avsync-stablehlo-v1"
 
 
+def _as_uint8_frames(frames: np.ndarray) -> np.ndarray:
+    """Validate raw-frame input instead of silently astype-truncating.
+
+    The exported modules take RAW uint8 frames (0..255) — the same contract
+    as the live serving path's uint8 branch. A float array here is almost
+    always a caller mistake ([0,1]-normalized frames would floor to all-0
+    black under a bare astype), so floats and out-of-range ints raise
+    rather than silently diverging from `LipReader.predict_frames`.
+    """
+    frames = np.asarray(frames)
+    if frames.dtype == np.uint8:
+        return frames
+    if np.issubdtype(frames.dtype, np.floating):
+        raise ValueError(
+            "exported artifacts take raw uint8 frames (0..255); got "
+            f"{frames.dtype}. Pass the undecoded pixels (the live path's "
+            "float branch is not part of the AOT module)."
+        )
+    if frames.size and (frames.min() < 0 or frames.max() > 255):
+        raise ValueError(
+            f"integer frames out of uint8 range [{frames.min()}, "
+            f"{frames.max()}] — expected raw 0..255 pixels"
+        )
+    return frames.astype(np.uint8)
+
+
+def _save_npz(path: str, exported, meta: dict) -> None:
+    # np.savez with a path STRING silently appends '.npz' when the suffix
+    # is missing, so the written file would not match the path the CLI
+    # reports; an open file object writes exactly `path`.
+    blob = np.frombuffer(exported.serialize(), dtype=np.uint8)
+    with open(path, "wb") as f:
+        np.savez(f, module=blob, meta=json.dumps(meta))
+
+
 def _vocab_meta(cfg: AvsyncConfig) -> dict:
     from avsync import text as textlib
 
@@ -153,13 +188,12 @@ class ExportedTranscriber:
         }
 
     def save(self, path: str) -> None:
-        blob = np.frombuffer(self._exported.serialize(), dtype=np.uint8)
-        np.savez(path, module=blob, meta=json.dumps(self.meta))
+        _save_npz(path, self._exported, self.meta)
 
     def call(self, frames: np.ndarray):
         """frames (B, T, H, W) uint8 (or (T, H, W), auto-batched; short
         clips zero-padded on T) -> (ids, lengths, log_probs) np arrays."""
-        frames = np.asarray(frames)
+        frames = _as_uint8_frames(frames)
         if frames.ndim == 3:
             frames = frames[None]
         T, H, W = self.meta["frame_shape"]
@@ -174,8 +208,7 @@ class ExportedTranscriber:
                 (frames.shape[0], T - frames.shape[1], H, W), frames.dtype
             )
             frames = np.concatenate([frames, pad], axis=1)
-        frames = frames[:, :T].astype(np.uint8)
-        ids, lengths, log_probs = self._exported.call(frames)
+        ids, lengths, log_probs = self._exported.call(frames[:, :T])
         return (np.asarray(ids), np.asarray(lengths),
                 np.asarray(log_probs))
 
@@ -271,13 +304,12 @@ class ExportedSyncScorer:
         self.meta = meta
 
     def save(self, path: str) -> None:
-        blob = np.frombuffer(self._exported.serialize(), dtype=np.uint8)
-        np.savez(path, module=blob, meta=json.dumps(self.meta))
+        _save_npz(path, self._exported, self.meta)
 
     def call(self, frames, audio, audio_len, fps, shifts):
         """Batched raw call; all arrays batch-first, shapes as in meta."""
         out = self._exported.call(
-            np.ascontiguousarray(frames, np.uint8),
+            np.ascontiguousarray(_as_uint8_frames(frames)),
             np.ascontiguousarray(audio, np.float32),
             np.asarray(audio_len, np.int32),
             np.asarray(fps, np.float32),
@@ -297,7 +329,7 @@ class ExportedSyncScorer:
                 f"artifact was exported for {self.meta['num_shifts']} "
                 f"shifts per request, got {shifts.shape}"
             )
-        frames = np.asarray(frames)
+        frames = _as_uint8_frames(frames)
         if frames.shape[1:] != (H, W):
             raise ValueError(
                 f"artifact expects {H}x{W} frames, got {frames.shape[1:]}"

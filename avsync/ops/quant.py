@@ -297,3 +297,19 @@ def lipnet_int8_apply(
     fc = p["fc"]
     logits = x.astype(dt) @ fc["kernel"].astype(dt) + fc["bias"].astype(dt)
     return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+
+def make_int8_forward(model, model_cfg):
+    """Jitted int8 forward `qfwd(qparams, video) -> log_probs` for either
+    model family — the single family switch shared by eval (`cli._evaluate`),
+    infer (`cli.cmd_infer`) and serving (`predictor.LipReader`), so a change
+    to the int8 entry points cannot silently diverge between them.
+
+    `model` is the constructed Flax module (for family 'tf' its resolved
+    `TFModelConfig` rides on `model.cfg`); `model_cfg` is the AvsyncConfig's
+    ModelConfig carrying `.family`.
+    """
+    if model_cfg.family == "tf":
+        tcfg = model.cfg  # the resolved TFModelConfig
+        return jax.jit(lambda qp, v: tflipnet_int8_apply(qp, v, tcfg))
+    return jax.jit(lambda qp, v: lipnet_int8_apply(qp, v, model_cfg))

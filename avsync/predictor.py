@@ -228,21 +228,9 @@ class LipReader:
             lambda p, v: self.model.apply({"params": p}, v)
         )
         if quantize == "int8":
-            from avsync.ops.quant import (
-                lipnet_int8_apply,
-                tflipnet_int8_apply,
-            )
+            from avsync.ops.quant import make_int8_forward
 
-            if self.cfg.model.family == "tf":
-                tcfg = self.model.cfg  # the resolved TFModelConfig
-                self._qfwd = jax.jit(
-                    lambda qp, v: tflipnet_int8_apply(qp, v, tcfg)
-                )
-            else:
-                mcfg = self.cfg.model
-                self._qfwd = jax.jit(
-                    lambda qp, v: lipnet_int8_apply(qp, v, mcfg)
-                )
+            self._qfwd = make_int8_forward(self.model, self.cfg.model)
             if calibration_scales is not None:
                 scales = calibration_scales
                 if isinstance(scales, str):

@@ -127,6 +127,32 @@ class TestExportedTranscriber:
         with pytest.raises(ValueError, match="expects 16x32"):
             back.call(np.zeros((1, 8, 20, 40), np.uint8))
 
+    def test_float_frames_rejected(self, artifact):
+        # a bare astype would floor [0,1]-normalized frames to all-black
+        # and silently transcribe garbage — must raise instead
+        back = load_exported(artifact)
+        with pytest.raises(ValueError, match="uint8"):
+            back.call(np.random.default_rng(0).random((1, 8, 16, 32),
+                                                      np.float32))
+
+    def test_out_of_range_int_frames_rejected(self, artifact):
+        back = load_exported(artifact)
+        with pytest.raises(ValueError, match="range"):
+            back.call(np.full((1, 8, 16, 32), 300, np.int32))
+        # in-range ints are accepted (exact uint8 values)
+        ids, _, _ = back.call(np.full((1, 8, 16, 32), 128, np.int32))
+        assert ids.shape[0] == 1
+
+    def test_save_writes_exact_path_without_npz_suffix(
+            self, artifact, tmp_path):
+        # np.savez(path_string) appends '.npz' when missing; save() must
+        # write exactly the path the CLI reports
+        back = load_exported(artifact)
+        out = str(tmp_path / "lipnet_serving.bin")
+        back.save(out)
+        assert os.path.exists(out) and not os.path.exists(out + ".npz")
+        assert load_exported(out).meta == back.meta
+
     def test_non_artifact_rejected(self, tmp_path):
         bogus = str(tmp_path / "bogus.npz")
         np.savez(bogus, module=np.zeros(4, np.uint8),

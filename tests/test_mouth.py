@@ -28,6 +28,48 @@ class TestDetector:
         boxes = det.detect_clip(clip)
         assert boxes.shape == (5, 4)
 
+    def test_cascade_detection_serialized_across_threads(self):
+        # cv2 CascadeClassifier.detectMultiScale is not thread-safe; the
+        # serving daemon shares ONE detector across HTTP handler threads
+        # (predictor.py), so detect_box must serialize cascade calls.
+        import threading
+        import time
+
+        det = MouthDetector()
+        det.use_cascade = True  # force the locked path (no cv2 needed:
+        # _detect_cascade is stubbed below)
+        state = {"cur": 0, "max": 0}
+        guard = threading.Lock()
+
+        def fake_detect(gray):
+            with guard:
+                state["cur"] += 1
+                state["max"] = max(state["max"], state["cur"])
+            time.sleep(0.002)
+            with guard:
+                state["cur"] -= 1
+            return None  # -> FALLBACK_BOX
+
+        det._detect_cascade = fake_detect
+        clip = np.zeros((8, 60, 80), np.uint8)
+        results = [None] * 4
+        threads = [
+            threading.Thread(
+                target=lambda i=i: results.__setitem__(
+                    i, det.detect_clip(clip))
+            )
+            for i in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert state["max"] == 1  # never two cascade calls in flight
+        for r in results:
+            np.testing.assert_array_equal(
+                r, np.tile(np.float32(FALLBACK_BOX), (8, 1))
+            )
+
     def test_extract_mouth_fallback_matches_reference_fracs(self):
         det = MouthDetector()
         det.use_cascade = False  # force fallback path (`train.py:190-203`)
