@@ -699,7 +699,8 @@ def cmd_serve(args) -> int:
         print(f"warmup: compiled batch buckets 1..{args.max_batch} "
               f"in {_time.time() - t0:.1f}s")
     server = AvsyncServer(
-        transcriber, scorer, host=args.host, port=args.port
+        transcriber, scorer, host=args.host, port=args.port,
+        max_body_bytes=args.max_body_mb * 1024 * 1024,
     )
     host, port = server.address[0], server.address[1]
     print(f"avsync serving on http://{host}:{port} "
@@ -1338,6 +1339,10 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--max_wait_ms", type=float, default=10.0,
                     help="dynamic batching: max extra latency a lone "
                          "request pays waiting for batchmates")
+    sv.add_argument("--max_body_mb", type=int, default=256,
+                    help="reject request bodies larger than this (413) "
+                         "before reading them — one oversized upload "
+                         "must not OOM the daemon")
     sv.add_argument("--dp", type=int, default=1,
                     help="data-parallel serving over N devices (0 = all): "
                          "params replicate once, each batch shards its "

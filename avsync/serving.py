@@ -443,6 +443,10 @@ class SyncScoreService:
 # ---------------------------------------------------------------------------
 
 
+class _BadRequest(ValueError):
+    """Request rejected before its body was read (size/header problems)."""
+
+
 def _make_handler(server: "AvsyncServer"):
     from http.server import BaseHTTPRequestHandler
 
@@ -462,7 +466,17 @@ def _make_handler(server: "AvsyncServer"):
             self.wfile.write(body)
 
         def _body(self) -> bytes:
-            n = int(self.headers.get("Content-Length", 0))
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                raise _BadRequest("malformed Content-Length header")
+            if n < 0:
+                raise _BadRequest("malformed Content-Length header")
+            if n > server.max_body_bytes:
+                raise _BadRequest(
+                    f"request body {n} bytes exceeds the server limit "
+                    f"({server.max_body_bytes}); split the batch"
+                )
             return self.rfile.read(n) if n else b""
 
         def do_GET(self):  # noqa: N802
@@ -476,7 +490,14 @@ def _make_handler(server: "AvsyncServer"):
         def do_POST(self):  # noqa: N802
             # read the body unconditionally: on HTTP/1.1 keep-alive an
             # unread body would be parsed as the NEXT request line
-            body = self._body()
+            try:
+                body = self._body()
+            except _BadRequest as e:
+                # the body was NOT drained — the connection can't be
+                # reused for a next request, so close it with the 413/400
+                self._send(413, {"error": str(e)})
+                self.close_connection = True
+                return
             try:
                 if self.path == "/v1/transcribe":
                     self._transcribe(body)
@@ -572,6 +593,7 @@ class AvsyncServer:
         scorer: Optional[SyncScoreService] = None,
         host: str = "127.0.0.1",
         port: int = 8777,
+        max_body_bytes: int = 256 * 1024 * 1024,
     ):
         from http.server import ThreadingHTTPServer
 
@@ -579,6 +601,9 @@ class AvsyncServer:
             raise ValueError("need at least one service")
         self.transcriber = transcriber
         self.scorer = scorer
+        # one oversized (or lying) Content-Length must not OOM the daemon;
+        # 256 MiB covers ~60 full-frame uint8 clips per request
+        self.max_body_bytes = int(max_body_bytes)
         self._httpd = ThreadingHTTPServer((host, port), _make_handler(self))
         self._thread: Optional[threading.Thread] = None
 

@@ -295,6 +295,43 @@ class TestHTTPServer:
             _get(server["url"] + "/nope")
         assert ei.value.code == 404
 
+    def test_oversized_body_rejected_413_before_read(self, server):
+        # one oversized (or lying) Content-Length must not OOM the daemon:
+        # the limit is enforced BEFORE the body is read
+        from avsync.serving import AvsyncServer
+
+        srv = AvsyncServer(server["transcriber"], None, host="127.0.0.1",
+                           port=0, max_body_bytes=1024)
+        srv.start()
+        try:
+            url = f"http://{srv.address[0]}:{srv.address[1]}"
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _post(url + "/v1/transcribe", b"x" * 4096,
+                      "application/x-npy")
+            assert ei.value.code == 413
+            assert "limit" in json.loads(ei.value.read())["error"]
+            # the same server still answers normal requests afterwards
+            assert _get(url + "/healthz") == {"status": "ok"}
+        finally:
+            srv.shutdown()
+
+    def test_malformed_content_length_rejected(self, server):
+        import http.client
+
+        host, port = server["url"].removeprefix("http://").split(":")
+        conn = http.client.HTTPConnection(host, int(port), timeout=30)
+        try:
+            conn.putrequest("POST", "/v1/transcribe",
+                            skip_accept_encoding=True)
+            conn.putheader("Content-Type", "application/x-npy")
+            conn.putheader("Content-Length", "not-a-number")
+            conn.endheaders()
+            resp = conn.getresponse()
+            assert resp.status == 413
+            assert "malformed" in json.loads(resp.read())["error"]
+        finally:
+            conn.close()
+
 
 # ---------------------------------------------------------------------------
 # data-parallel serving (virtual 8-device mesh)
