@@ -655,11 +655,71 @@ def cmd_serve(args) -> int:
     dynamic batcher and a stdlib HTTP surface (avsync/serving.py)."""
     from avsync.predictor import LipReader, MisalignmentScorer
     from avsync.serving import (
+        ArtifactSyncScoreService,
+        ArtifactTranscribeService,
         AvsyncServer,
         SyncScoreService,
         TranscribeService,
     )
 
+    if args.artifact:
+        # AOT path: serve straight from exported StableHLO artifacts — no
+        # checkpoint, no model lowering at startup (avsync/export.py)
+        if args.checkpoint or args.detector_checkpoint:
+            raise SystemExit(
+                "--artifact serves the exported module; don't also pass "
+                "--checkpoint/--detector_checkpoint (bake them in via "
+                "`avsync export`)"
+            )
+        if getattr(args, "quantize", None) or args.dp != 1:
+            raise SystemExit(
+                "--quantize/--dp don't apply to --artifact serving: the "
+                "artifact's computation is frozen at export time"
+            )
+        from avsync.export import load_exported
+
+        transcriber = scorer = None
+        for path in args.artifact:
+            art = load_exported(path)
+            kind = art.meta.get("kind", "transcriber")
+            if kind == "transcriber":
+                if transcriber is not None:
+                    raise SystemExit("two transcriber artifacts given")
+                transcriber = ArtifactTranscribeService(
+                    art, max_batch=args.max_batch,
+                    max_wait_ms=args.max_wait_ms,
+                )
+            else:
+                if scorer is not None:
+                    raise SystemExit("two sync_scorer artifacts given")
+                scorer = ArtifactSyncScoreService(
+                    art, max_batch=args.max_batch,
+                    max_wait_ms=args.max_wait_ms,
+                )
+            print(f"loaded artifact {path}: kind={kind}")
+        if getattr(args, "warmup", False):
+            import time as _time
+
+            t0 = _time.time()
+            for svc in (transcriber, scorer):
+                if svc is not None:
+                    svc.warmup()
+            print(f"warmup: compiled batch buckets 1..{args.max_batch} "
+                  f"in {_time.time() - t0:.1f}s")
+        server = AvsyncServer(
+            transcriber, scorer, host=args.host, port=args.port,
+            max_body_bytes=args.max_body_mb * 1024 * 1024,
+        )
+        host, port = server.address[0], server.address[1]
+        print(f"avsync AOT serving on http://{host}:{port} "
+              f"(max_batch={args.max_batch}, "
+              f"max_wait_ms={args.max_wait_ms})")
+        print("endpoints: GET /healthz /v1/stats; "
+              "POST /v1/transcribe /v1/sync_score")
+        return _serve_loop(server)
+
+    if not args.checkpoint:
+        raise SystemExit("need --checkpoint (live) or --artifact (AOT)")
     cfg = _config_from_args(args)
     mesh = None
     if args.dp != 1:
@@ -708,6 +768,10 @@ def cmd_serve(args) -> int:
           f"quantize={getattr(args, 'quantize', None)})")
     print("endpoints: GET /healthz /v1/stats; "
           "POST /v1/transcribe /v1/sync_score")
+    return _serve_loop(server)
+
+
+def _serve_loop(server) -> int:
     import signal
 
     def _term(signum, frame):  # SIGTERM takes the same graceful path as ^C
@@ -718,6 +782,11 @@ def cmd_serve(args) -> int:
         server.serve_forever()
     except KeyboardInterrupt:
         print("\nshutting down")
+        # shutdown drains in-flight batches (worker join); a REPEATED
+        # SIGTERM during that drain (supervisors often resend) must not
+        # abort it with a traceback — ignore further TERMs. A second ^C
+        # (SIGINT) still force-quits, per convention.
+        signal.signal(signal.SIGTERM, signal.SIG_IGN)
         server.shutdown()
     return 0
 
@@ -1328,10 +1397,15 @@ def build_parser() -> argparse.ArgumentParser:
     sv = sub.add_parser("serve",
                         help="HTTP serving daemon with dynamic batching")
     common(sv)
-    sv.add_argument("--checkpoint", type=str, required=True,
+    sv.add_argument("--checkpoint", type=str, default=None,
                     help="LipNet .pth file or Orbax checkpoint dir")
     sv.add_argument("--detector_checkpoint", type=str, default=None,
                     help="also serve /v1/sync_score from this detector")
+    sv.add_argument("--artifact", action="append", default=None,
+                    help="serve from an `avsync export` StableHLO artifact "
+                         "instead of a checkpoint (repeat for transcriber "
+                         "+ sync_scorer); no model code or checkpoint "
+                         "needed at startup")
     sv.add_argument("--host", type=str, default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8777)
     sv.add_argument("--max_batch", type=int, default=8,

@@ -190,9 +190,12 @@ class ExportedTranscriber:
     def save(self, path: str) -> None:
         _save_npz(path, self._exported, self.meta)
 
-    def call(self, frames: np.ndarray):
-        """frames (B, T, H, W) uint8 (or (T, H, W), auto-batched; short
-        clips zero-padded on T) -> (ids, lengths, log_probs) np arrays."""
+    def prepare_rows(self, frames: np.ndarray) -> np.ndarray:
+        """Validate + shape raw frames into module-ready (B, T, H, W)
+        uint8 rows: (T', H, W) auto-batches, short clips zero-pad on T
+        (same as predictor.pad_frames), long clips truncate. Host-side
+        only — rows from separate calls can be concatenated into one
+        batched `call` (the dynamic-batching serving path)."""
         frames = _as_uint8_frames(frames)
         if frames.ndim == 3:
             frames = frames[None]
@@ -203,12 +206,19 @@ class ExportedTranscriber:
                 f"{frames.shape[2]}x{frames.shape[3]} — re-export with "
                 f"frame_geometry=({frames.shape[2]}, {frames.shape[3]})"
             )
-        if frames.shape[1] < T:  # same zero-pad as predictor.pad_frames
+        if frames.shape[1] < T:
             pad = np.zeros(
                 (frames.shape[0], T - frames.shape[1], H, W), frames.dtype
             )
             frames = np.concatenate([frames, pad], axis=1)
-        ids, lengths, log_probs = self._exported.call(frames[:, :T])
+        return frames[:, :T]
+
+    def call(self, frames: np.ndarray):
+        """frames (B, T, H, W) uint8 (or (T, H, W), auto-batched; short
+        clips zero-padded on T) -> (ids, lengths, log_probs) np arrays."""
+        ids, lengths, log_probs = self._exported.call(
+            self.prepare_rows(frames)
+        )
         return (np.asarray(ids), np.asarray(lengths),
                 np.asarray(log_probs))
 
@@ -317,10 +327,12 @@ class ExportedSyncScorer:
         )
         return np.asarray(out)
 
-    def score_arrays(self, frames: np.ndarray, audio: np.ndarray,
-                     fps: float, shifts: Sequence[int]) -> np.ndarray:
-        """One clip -> (K,) sync probabilities — the exported counterpart
-        of `MisalignmentScorer.score_arrays` (same host-side padding)."""
+    def prepare_row(self, frames: np.ndarray, audio: np.ndarray,
+                    fps: float, shifts: Sequence[int]) -> tuple:
+        """One clip -> the module-ready b=1 payload row tuple
+        (frames u8, audio f32, audio_len i32, fps f32, shifts i32), all
+        batch-first. Host-side padding only — rows concatenate into one
+        batched `call` (the dynamic-batching serving path)."""
         T, H, W = self.meta["frame_shape"]
         S = self.meta["max_audio_samples"]
         shifts = np.asarray(shifts, np.int32)
@@ -339,10 +351,14 @@ class ExportedSyncScorer:
         a = np.asarray(audio, np.float32)[:S]
         abuf = np.zeros((1, S), np.float32)
         abuf[0, : len(a)] = a
-        return self.call(
-            fbuf, abuf, np.array([len(a)], np.int32),
-            np.array([fps], np.float32), shifts[None],
-        )[0]
+        return (fbuf, abuf, np.array([len(a)], np.int32),
+                np.array([fps], np.float32), shifts[None])
+
+    def score_arrays(self, frames: np.ndarray, audio: np.ndarray,
+                     fps: float, shifts: Sequence[int]) -> np.ndarray:
+        """One clip -> (K,) sync probabilities — the exported counterpart
+        of `MisalignmentScorer.score_arrays` (same host-side padding)."""
+        return self.call(*self.prepare_row(frames, audio, fps, shifts))[0]
 
 
 def load_exported(path: str):

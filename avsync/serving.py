@@ -443,6 +443,163 @@ class SyncScoreService:
 # ---------------------------------------------------------------------------
 
 
+class ArtifactTranscribeService:
+    """An AOT `ExportedTranscriber` artifact behind a DynamicBatcher.
+
+    `avsync serve --artifact lipnet_serving.npz`: the serving host needs
+    the artifact file and jax — no checkpoint, no avsync model code, no
+    Python->XLA lowering at startup. Preprocess, forward and CTC decode
+    all live INSIDE the StableHLO module (avsync/export.py); handler
+    threads only validate/pad uint8 rows, and the batcher's single worker
+    runs the module per batch. The module's batch dim is symbolic, so the
+    power-of-two buckets each compile once from StableHLO on first use
+    (or all up front via `warmup`).
+
+    Same endpoint surface as `TranscribeService` — the daemon can't tell
+    live and AOT serving apart.
+    """
+
+    def __init__(self, artifact, max_batch: int = 8,
+                 max_wait_ms: float = 10.0,
+                 stats: Optional[ServingStats] = None):
+        from avsync.export import load_exported
+
+        if isinstance(artifact, str):
+            artifact = load_exported(artifact)
+        if artifact.meta.get("kind", "transcriber") != "transcriber":
+            raise ValueError(
+                f"not a transcriber artifact: kind="
+                f"{artifact.meta.get('kind')!r}"
+            )
+        self.artifact = artifact
+        self.stats = stats or ServingStats()
+
+        def infer(payload) -> Sequence[str]:
+            return artifact.transcribe(payload[0])
+
+        self.batcher = DynamicBatcher(
+            infer, max_batch=max_batch, max_wait_ms=max_wait_ms,
+            stats=self.stats,
+        )
+
+    def transcribe_frames(self, frames: np.ndarray,
+                          timeout: Optional[float] = None) -> str:
+        return self.batcher.infer(
+            (self.artifact.prepare_rows(frames),), timeout=timeout
+        )
+
+    def transcribe_path(self, video_path: str,
+                        timeout: Optional[float] = None) -> str:
+        from avsync.data.video import decode_video_gray
+
+        frames = decode_video_gray(
+            video_path, max_frames=self.artifact.meta["frame_shape"][0]
+        )
+        if frames.size == 0:
+            raise ValueError(f"no frames decoded from {video_path}")
+        return self.transcribe_frames(frames, timeout=timeout)
+
+    def warmup(self) -> None:
+        """Compile every power-of-two bucket from the StableHLO module
+        before taking traffic (`avsync serve --warmup`)."""
+        T, H, W = self.artifact.meta["frame_shape"]
+        b = 1
+        while True:
+            self.artifact.transcribe(np.zeros((b, T, H, W), np.uint8))
+            if b >= self.batcher.max_batch:
+                return
+            b = min(2 * b, self.batcher.max_batch)
+
+    def close(self) -> None:
+        self.batcher.close()
+
+
+class ArtifactSyncScoreService:
+    """An AOT `ExportedSyncScorer` artifact behind a DynamicBatcher —
+    the /v1/sync_score counterpart of `ArtifactTranscribeService`
+    (preprocess + conv visual stats + fused shift->MFCC->stats + detector
+    head all inside the module). Requests with the artifact's shifts-per-
+    request count batch together; the shift VALUES stay per-row inputs.
+    """
+
+    def __init__(self, artifact, max_batch: int = 8,
+                 max_wait_ms: float = 10.0,
+                 stats: Optional[ServingStats] = None):
+        from avsync.config import AvsyncConfig
+        from avsync.export import load_exported
+
+        if isinstance(artifact, str):
+            artifact = load_exported(artifact)
+        if artifact.meta.get("kind") != "sync_scorer":
+            raise ValueError(
+                f"not a sync_scorer artifact: kind="
+                f"{artifact.meta.get('kind')!r}"
+            )
+        self.artifact = artifact
+        # the artifact embeds the full AvsyncConfig — media decode for
+        # score_path self-configures from it (sample rate, default fps)
+        self.cfg = AvsyncConfig.from_dict(artifact.meta["config"])
+        self.stats = stats or ServingStats()
+
+        def infer(payload) -> Sequence[np.ndarray]:
+            probs = artifact.call(*payload)
+            return [probs[i] for i in range(probs.shape[0])]
+
+        self.batcher = DynamicBatcher(
+            infer, max_batch=max_batch, max_wait_ms=max_wait_ms,
+            stats=self.stats,
+        )
+
+    def score_arrays(self, frames: np.ndarray, audio: np.ndarray,
+                     fps: float, shifts=(0,),
+                     timeout: Optional[float] = None) -> np.ndarray:
+        return self.batcher.infer(
+            self.artifact.prepare_row(frames, audio, fps, shifts),
+            timeout=timeout,
+        )
+
+    def score_path(self, video_path: str, shifts=(0,)) -> np.ndarray:
+        from avsync.data.video import (
+            decode_video_gray,
+            get_video_fps,
+            load_audio_for_video,
+        )
+        from avsync.ops.audio import resample_host
+
+        frames = decode_video_gray(
+            video_path, max_frames=self.artifact.meta["frame_shape"][0]
+        )
+        if frames.size == 0:
+            raise ValueError(f"no frames decoded from {video_path}")
+        audio, sr = load_audio_for_video(
+            video_path, self.cfg.audio.sample_rate
+        )
+        if sr != self.cfg.audio.sample_rate:
+            audio = resample_host(audio, sr, self.cfg.audio.sample_rate)
+        fps = get_video_fps(video_path, self.cfg.detector.default_fps)
+        return self.score_arrays(frames, audio, fps, shifts)
+
+    def warmup(self) -> None:
+        T, H, W = self.artifact.meta["frame_shape"]
+        S = self.artifact.meta["max_audio_samples"]
+        K = self.artifact.meta["num_shifts"]
+        b = 1
+        while True:
+            self.artifact.call(
+                np.zeros((b, T, H, W), np.uint8),
+                np.zeros((b, S), np.float32),
+                np.full((b,), S, np.int32),
+                np.full((b,), 25.0, np.float32),
+                np.zeros((b, K), np.int32),
+            )
+            if b >= self.batcher.max_batch:
+                return
+            b = min(2 * b, self.batcher.max_batch)
+
+    def close(self) -> None:
+        self.batcher.close()
+
+
 class _BadRequest(ValueError):
     """Request rejected before its body was read (size/header problems)."""
 

@@ -763,3 +763,131 @@ class TestWarmup:
             ["serve", "--checkpoint", "x.pth", "--warmup"]
         )
         assert args.warmup is True
+
+
+# ---------------------------------------------------------------------------
+# AOT artifact serving (avsync serve --artifact)
+# ---------------------------------------------------------------------------
+
+
+class TestArtifactServing:
+    @pytest.fixture(scope="class")
+    def artifacts(self, checkpoints, tmp_path_factory):
+        from avsync.export import export_sync_scorer, export_transcriber
+
+        root = tmp_path_factory.mktemp("artifacts")
+        t = export_transcriber(checkpoints["lipnet"], TINY,
+                               platforms=("cpu",))
+        tp = str(root / "transcriber.npz")
+        t.save(tp)
+        s = export_sync_scorer(checkpoints["detector"],
+                               checkpoints["lipnet"], TINY,
+                               num_shifts=2, platforms=("cpu",))
+        sp = str(root / "scorer.npz")
+        s.save(sp)
+        return {"transcriber": tp, "scorer": sp}
+
+    def test_artifact_transcribe_matches_live_over_http(self, checkpoints,
+                                                        artifacts):
+        from avsync.predictor import LipReader
+        from avsync.serving import ArtifactTranscribeService, AvsyncServer
+
+        svc = ArtifactTranscribeService(artifacts["transcriber"],
+                                        max_batch=4, max_wait_ms=50.0)
+        srv = AvsyncServer(svc, None, host="127.0.0.1", port=0)
+        srv.start()
+        try:
+            url = f"http://{srv.address[0]}:{srv.address[1]}"
+            rng = np.random.default_rng(40)
+            frames = rng.integers(0, 255, (8, 16, 32), np.uint8)
+            direct = LipReader(checkpoints["lipnet"],
+                               TINY).predict_frames(frames)
+            out = _post(url + "/v1/transcribe", _npy_bytes(frames),
+                        "application/x-npy")
+            assert out["transcript"] == direct
+            # short clip pads on T like the live path
+            out2 = _post(url + "/v1/transcribe",
+                         _npy_bytes(frames[:5]), "application/x-npy")
+            assert out2["transcript"] == LipReader(
+                checkpoints["lipnet"], TINY).predict_frames(frames[:5])
+        finally:
+            srv.shutdown()
+
+    def test_artifact_clients_coalesce_into_one_module_call(self,
+                                                            artifacts):
+        from avsync.serving import ArtifactTranscribeService, AvsyncServer
+
+        svc = ArtifactTranscribeService(artifacts["transcriber"],
+                                        max_batch=4, max_wait_ms=200.0)
+        svc.warmup()  # compile buckets so requests land in one window
+        srv = AvsyncServer(svc, None, host="127.0.0.1", port=0)
+        srv.start()
+        try:
+            url = f"http://{srv.address[0]}:{srv.address[1]}"
+            rng = np.random.default_rng(41)
+            frames = rng.integers(0, 255, (8, 16, 32), np.uint8)
+            body = _npy_bytes(frames)
+            results, errors = [], []
+
+            def client():
+                try:
+                    results.append(
+                        _post(url + "/v1/transcribe", body,
+                              "application/x-npy")["transcript"]
+                    )
+                except Exception as e:  # noqa: BLE001
+                    errors.append(e)
+
+            threads = [threading.Thread(target=client) for _ in range(4)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert not errors and len(set(results)) == 1
+            stats = _get(url + "/v1/stats")
+            assert any(int(k) > 1 for k in stats["transcribe"]["batches"])
+        finally:
+            srv.shutdown()
+
+    def test_artifact_sync_score_service_matches_direct(self, artifacts):
+        from avsync.export import load_exported
+        from avsync.serving import ArtifactSyncScoreService
+
+        art = load_exported(artifacts["scorer"])
+        svc = ArtifactSyncScoreService(art, max_batch=4, max_wait_ms=5.0)
+        try:
+            rng = np.random.default_rng(42)
+            frames = rng.integers(0, 255, (8, 16, 32), np.uint8)
+            audio = (np.sin(np.linspace(0, 120, 6000)) * 0.4).astype(
+                np.float32)
+            got = svc.score_arrays(frames, audio, 25.0, (0, 3),
+                                   timeout=120.0)
+            want = art.score_arrays(frames, audio, 25.0, (0, 3))
+            np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+            # shift-count mismatch propagates as a clean error
+            with pytest.raises(ValueError, match="2 shifts"):
+                svc.score_arrays(frames, audio, 25.0, (0, 1, 2))
+        finally:
+            svc.close()
+
+    def test_wrong_artifact_kind_rejected(self, artifacts):
+        from avsync.serving import (
+            ArtifactSyncScoreService,
+            ArtifactTranscribeService,
+        )
+
+        with pytest.raises(ValueError, match="not a transcriber"):
+            ArtifactTranscribeService(artifacts["scorer"])
+        with pytest.raises(ValueError, match="not a sync_scorer"):
+            ArtifactSyncScoreService(artifacts["transcriber"])
+
+    def test_serve_artifact_parser_wiring(self):
+        from avsync.cli import build_parser, cmd_serve
+
+        args = build_parser().parse_args(
+            ["serve", "--artifact", "a.npz", "--artifact", "b.npz",
+             "--port", "0"]
+        )
+        assert args.fn is cmd_serve
+        assert args.artifact == ["a.npz", "b.npz"]
+        assert args.checkpoint is None
