@@ -891,3 +891,18 @@ class TestArtifactServing:
         assert args.fn is cmd_serve
         assert args.artifact == ["a.npz", "b.npz"]
         assert args.checkpoint is None
+
+    def test_serve_artifact_excludes_live_flags(self, artifacts):
+        from avsync.cli import build_parser, cmd_serve
+
+        p = build_parser()
+        with pytest.raises(SystemExit):  # artifact + checkpoint
+            cmd_serve(p.parse_args(
+                ["serve", "--artifact", artifacts["transcriber"],
+                 "--checkpoint", "x.pth"]))
+        with pytest.raises(SystemExit):  # artifact + quantize
+            cmd_serve(p.parse_args(
+                ["serve", "--artifact", artifacts["transcriber"],
+                 "--quantize", "int8"]))
+        with pytest.raises(SystemExit):  # neither artifact nor checkpoint
+            cmd_serve(p.parse_args(["serve"]))
