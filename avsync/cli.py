@@ -689,12 +689,16 @@ def cmd_serve(args) -> int:
                     art, max_batch=args.max_batch,
                     max_wait_ms=args.max_wait_ms,
                 )
-            else:
+            elif kind == "sync_scorer":
                 if scorer is not None:
                     raise SystemExit("two sync_scorer artifacts given")
                 scorer = ArtifactSyncScoreService(
                     art, max_batch=args.max_batch,
                     max_wait_ms=args.max_wait_ms,
+                )
+            else:
+                raise SystemExit(
+                    f"unknown artifact kind {kind!r} in {path}"
                 )
             print(f"loaded artifact {path}: kind={kind}")
         if getattr(args, "warmup", False):

@@ -199,6 +199,11 @@ class ExportedTranscriber:
         frames = _as_uint8_frames(frames)
         if frames.ndim == 3:
             frames = frames[None]
+        if frames.ndim != 4:
+            raise ValueError(
+                f"expected (T, H, W) or (B, T, H, W) frames, got shape "
+                f"{frames.shape}"
+            )
         T, H, W = self.meta["frame_shape"]
         if frames.shape[2:] != (H, W):
             raise ValueError(

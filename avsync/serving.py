@@ -41,8 +41,35 @@ __all__ = [
     "ServingStats",
     "TranscribeService",
     "SyncScoreService",
+    "ArtifactTranscribeService",
+    "ArtifactSyncScoreService",
     "AvsyncServer",
 ]
+
+
+def _decode_frames(video_path: str, max_frames: int) -> np.ndarray:
+    """Shared host decode for the *_path endpoints (live + artifact)."""
+    from avsync.data.video import decode_video_gray
+
+    frames = decode_video_gray(video_path, max_frames=max_frames)
+    if frames.size == 0:
+        raise ValueError(f"no frames decoded from {video_path}")
+    return frames
+
+
+def _decode_av(video_path: str, max_frames: int, sample_rate: int,
+               default_fps: float):
+    """Shared frames+audio+fps decode for the sync-score *_path
+    endpoints (live + artifact)."""
+    from avsync.data.video import get_video_fps, load_audio_for_video
+    from avsync.ops.audio import resample_host
+
+    frames = _decode_frames(video_path, max_frames)
+    audio, sr = load_audio_for_video(video_path, sample_rate)
+    if sr != sample_rate:
+        audio = resample_host(audio, sr, sample_rate)
+    fps = get_video_fps(video_path, default_fps)
+    return frames, audio, fps
 
 
 # ---------------------------------------------------------------------------
@@ -351,13 +378,9 @@ class TranscribeService:
 
     def transcribe_path(self, video_path: str,
                         timeout: Optional[float] = None) -> str:
-        from avsync.data.video import decode_video_gray
-
-        frames = decode_video_gray(
-            video_path, max_frames=self.reader.cfg.data.max_video_length
+        frames = _decode_frames(
+            video_path, self.reader.cfg.data.max_video_length
         )
-        if frames.size == 0:
-            raise ValueError(f"no frames decoded from {video_path}")
         return self.transcribe_frames(frames, timeout=timeout)
 
     def close(self) -> None:
@@ -418,23 +441,11 @@ class SyncScoreService:
         self.batcher.close()
 
     def score_path(self, video_path: str, shifts=(0,)) -> np.ndarray:
-        from avsync.data.video import (
-            decode_video_gray,
-            get_video_fps,
-            load_audio_for_video,
-        )
-        from avsync.ops.audio import resample_host
-
         cfg = self.scorer.cfg
-        frames = decode_video_gray(
-            video_path, max_frames=cfg.data.max_video_length
+        frames, audio, fps = _decode_av(
+            video_path, cfg.data.max_video_length, cfg.audio.sample_rate,
+            cfg.detector.default_fps,
         )
-        if frames.size == 0:
-            raise ValueError(f"no frames decoded from {video_path}")
-        audio, sr = load_audio_for_video(video_path, cfg.audio.sample_rate)
-        if sr != cfg.audio.sample_rate:
-            audio = resample_host(audio, sr, cfg.audio.sample_rate)
-        fps = get_video_fps(video_path, cfg.detector.default_fps)
         return self.score_arrays(frames, audio, fps, shifts)
 
 
@@ -484,19 +495,27 @@ class ArtifactTranscribeService:
 
     def transcribe_frames(self, frames: np.ndarray,
                           timeout: Optional[float] = None) -> str:
+        # ONE clip per request (same contract as TranscribeService): the
+        # batcher attributes exactly one result per submitted row, so a
+        # (B,T,H,W) upload here would silently return only clip 0's
+        # transcript — and misattribute the rest to concurrently batched
+        # requests. Batch via `load_exported(...).transcribe` instead.
+        frames = np.asarray(frames)
+        if frames.ndim != 3:
+            raise ValueError(
+                f"one (T, H, W) clip per request, got shape "
+                f"{frames.shape} — for client-side batches use the "
+                "artifact's own batched `call`/`transcribe`"
+            )
         return self.batcher.infer(
             (self.artifact.prepare_rows(frames),), timeout=timeout
         )
 
     def transcribe_path(self, video_path: str,
                         timeout: Optional[float] = None) -> str:
-        from avsync.data.video import decode_video_gray
-
-        frames = decode_video_gray(
-            video_path, max_frames=self.artifact.meta["frame_shape"][0]
+        frames = _decode_frames(
+            video_path, self.artifact.meta["frame_shape"][0]
         )
-        if frames.size == 0:
-            raise ValueError(f"no frames decoded from {video_path}")
         return self.transcribe_frames(frames, timeout=timeout)
 
     def warmup(self) -> None:
@@ -559,24 +578,10 @@ class ArtifactSyncScoreService:
         )
 
     def score_path(self, video_path: str, shifts=(0,)) -> np.ndarray:
-        from avsync.data.video import (
-            decode_video_gray,
-            get_video_fps,
-            load_audio_for_video,
+        frames, audio, fps = _decode_av(
+            video_path, self.artifact.meta["frame_shape"][0],
+            self.cfg.audio.sample_rate, self.cfg.detector.default_fps,
         )
-        from avsync.ops.audio import resample_host
-
-        frames = decode_video_gray(
-            video_path, max_frames=self.artifact.meta["frame_shape"][0]
-        )
-        if frames.size == 0:
-            raise ValueError(f"no frames decoded from {video_path}")
-        audio, sr = load_audio_for_video(
-            video_path, self.cfg.audio.sample_rate
-        )
-        if sr != self.cfg.audio.sample_rate:
-            audio = resample_host(audio, sr, self.cfg.audio.sample_rate)
-        fps = get_video_fps(video_path, self.cfg.detector.default_fps)
         return self.score_arrays(frames, audio, fps, shifts)
 
     def warmup(self) -> None:
@@ -602,6 +607,11 @@ class ArtifactSyncScoreService:
 
 class _BadRequest(ValueError):
     """Request rejected before its body was read (size/header problems)."""
+
+    def __init__(self, message: str, status: int = 400, drain: int = 0):
+        super().__init__(message)
+        self.status = status
+        self.drain = drain  # claimed body bytes left unread (0 if unknown)
 
 
 def _make_handler(server: "AvsyncServer"):
@@ -632,9 +642,32 @@ def _make_handler(server: "AvsyncServer"):
             if n > server.max_body_bytes:
                 raise _BadRequest(
                     f"request body {n} bytes exceeds the server limit "
-                    f"({server.max_body_bytes}); split the batch"
+                    f"({server.max_body_bytes}); split the batch",
+                    status=413, drain=n,
                 )
             return self.rfile.read(n) if n else b""
+
+        def _lingering_drain(self, n: int, limit: int = 64 << 20,
+                             chunk: int = 1 << 20) -> None:
+            """Discard (bounded) unread body so the client can read our
+            response: closing with data still in the receive queue emits
+            RST on Linux, which can destroy the client's unread response
+            buffer — the 413 this protects would never be seen. Drains at
+            most min(claimed, limit) bytes (never reads past the body, so
+            no blocking on well-behaved clients) under a socket timeout,
+            so a hostile slow/endless stream can't pin the thread."""
+            remaining = min(n, limit)
+            if remaining <= 0:
+                return
+            try:
+                self.connection.settimeout(5.0)
+                while remaining > 0:
+                    data = self.rfile.read(min(chunk, remaining))
+                    if not data:
+                        return
+                    remaining -= len(data)
+            except OSError:
+                pass
 
         def do_GET(self):  # noqa: N802
             if self.path == "/healthz":
@@ -650,9 +683,16 @@ def _make_handler(server: "AvsyncServer"):
             try:
                 body = self._body()
             except _BadRequest as e:
-                # the body was NOT drained — the connection can't be
-                # reused for a next request, so close it with the 413/400
-                self._send(413, {"error": str(e)})
+                # 413 for oversize, 400 for malformed headers; the full
+                # body was not read, so the connection can't be reused —
+                # send the response, drain a bounded amount so the client
+                # can actually read it, then close
+                self._send(e.status, {"error": str(e)})
+                try:
+                    self.wfile.flush()
+                except OSError:
+                    pass
+                self._lingering_drain(e.drain)
                 self.close_connection = True
                 return
             try:

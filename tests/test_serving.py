@@ -327,7 +327,9 @@ class TestHTTPServer:
             conn.putheader("Content-Length", "not-a-number")
             conn.endheaders()
             resp = conn.getresponse()
-            assert resp.status == 413
+            # 400 (malformed), NOT 413 (too large): a client that reacts
+            # to 413 by splitting the payload would retry uselessly
+            assert resp.status == 400
             assert "malformed" in json.loads(resp.read())["error"]
         finally:
             conn.close()
@@ -906,3 +908,63 @@ class TestArtifactServing:
                  "--quantize", "int8"]))
         with pytest.raises(SystemExit):  # neither artifact nor checkpoint
             cmd_serve(p.parse_args(["serve"]))
+
+    def test_multi_clip_upload_rejected_not_misattributed(self, artifacts):
+        # the batcher attributes ONE result per submitted row; a (B,T,H,W)
+        # upload must be rejected, not silently answered with clip 0's
+        # transcript (while clips 1.. leak into other requests' results)
+        from avsync.serving import ArtifactTranscribeService
+
+        svc = ArtifactTranscribeService(artifacts["transcriber"],
+                                        max_batch=4, max_wait_ms=5.0)
+        try:
+            batch = np.zeros((2, 8, 16, 32), np.uint8)
+            with pytest.raises(ValueError, match="one .* clip per request"):
+                svc.transcribe_frames(batch)
+        finally:
+            svc.close()
+
+    def test_2d_frames_clean_error_not_indexerror(self, artifacts):
+        from avsync.export import load_exported
+
+        art = load_exported(artifacts["transcriber"])
+        with pytest.raises(ValueError, match="expected .* frames"):
+            art.call(np.zeros((16, 32), np.uint8))
+
+    def test_unknown_artifact_kind_is_clean_cli_error(self, artifacts,
+                                                      tmp_path):
+        from avsync.cli import build_parser, cmd_serve
+
+        with np.load(artifacts["transcriber"], allow_pickle=False) as z:
+            meta = json.loads(str(z["meta"]))
+            module = z["module"]
+        meta["kind"] = "detector"
+        bogus = str(tmp_path / "bogus.npz")
+        np.savez(bogus, module=module, meta=json.dumps(meta))
+        with pytest.raises(SystemExit, match="unknown artifact kind"):
+            cmd_serve(build_parser().parse_args(
+                ["serve", "--artifact", bogus]))
+
+    def test_oversized_body_bigger_than_socket_buffers_still_sees_413(
+            self, artifacts):
+        # an 8 MB upload against a 1 MB limit: the client blocks in send()
+        # until the server drains; without the bounded lingering drain the
+        # close would RST the connection and the client would never read
+        # the 413 (the 4 KB test fits in socket buffers and can't catch
+        # this)
+        from avsync.serving import ArtifactTranscribeService, AvsyncServer
+
+        svc = ArtifactTranscribeService(artifacts["transcriber"],
+                                        max_batch=2, max_wait_ms=5.0)
+        srv = AvsyncServer(svc, None, host="127.0.0.1", port=0,
+                           max_body_bytes=1 << 20)
+        srv.start()
+        try:
+            url = f"http://{srv.address[0]}:{srv.address[1]}"
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _post(url + "/v1/transcribe", b"x" * (8 << 20),
+                      "application/x-npy")
+            assert ei.value.code == 413
+            assert "limit" in json.loads(ei.value.read())["error"]
+        finally:
+            srv.shutdown()
