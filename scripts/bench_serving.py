@@ -147,15 +147,23 @@ def run_sync_sweep(scorer, clips_u8, clients_list, n_requests, max_batch,
 
 
 def run_sweep(reader, transport, clips_u8, clients_list, n_requests,
-              max_batch, max_wait_ms):
-    from avsync.serving import TranscribeService
+              max_batch, max_wait_ms, artifact=None):
+    from avsync.serving import ArtifactTranscribeService, TranscribeService
 
     results = []
     for n_clients in clients_list:
-        svc = TranscribeService(reader, max_batch=max_batch,
-                                max_wait_ms=max_wait_ms, transport=transport)
+        if transport == "artifact":
+            svc = ArtifactTranscribeService(
+                artifact, max_batch=max_batch, max_wait_ms=max_wait_ms)
+        else:
+            svc = TranscribeService(reader, max_batch=max_batch,
+                                    max_wait_ms=max_wait_ms,
+                                    transport=transport)
         try:
-            svc.warmup(clips_u8[0])  # production's own bucket warmup
+            if transport == "artifact":
+                svc.warmup()  # buckets compile from StableHLO
+            else:
+                svc.warmup(clips_u8[0])  # production's own bucket warmup
             per_client = max(1, n_requests // n_clients)
             errs = []
 
@@ -202,7 +210,9 @@ def main():
     ap.add_argument("--max_batch", type=int, default=8)
     ap.add_argument("--max_wait_ms", type=float, default=10.0)
     ap.add_argument("--transports", nargs="+", default=["raw", "f32"],
-                    choices=["raw", "f32"])
+                    choices=["raw", "f32", "artifact"],
+                    help="'artifact' serves the same weights through an "
+                         "AOT StableHLO export (ArtifactTranscribeService)")
     ap.add_argument("--service", choices=["transcribe", "sync"],
                     default="transcribe")
     ap.add_argument("--int8", action="store_true")
@@ -238,10 +248,20 @@ def main():
             }), flush=True)
         return
     reader = build_reader("int8" if args.int8 else None, args.tmpdir)
+    artifact = None
+    if "artifact" in args.transports:
+        from avsync.export import export_transcriber
+
+        # same weights as the live reader (build_reader's ckpt)
+        artifact = export_transcriber(
+            os.path.join(args.tmpdir, "bench_serving_lipnet.pth"),
+            reader.cfg, platforms=("tpu", "cpu"),
+        )
     by_transport = {}
     for transport in args.transports:
         res = run_sweep(reader, transport, clips, args.clients, args.n,
-                        args.max_batch, args.max_wait_ms)
+                        args.max_batch, args.max_wait_ms,
+                        artifact=artifact)
         by_transport[transport] = res
         if len(res) > 1:
             print(json.dumps({
