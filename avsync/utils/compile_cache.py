@@ -22,9 +22,37 @@ import os
 _DISABLED = ("", "0", "off", "none", "disable", "disabled")
 
 
+def _host_fingerprint() -> str:
+    """Short ISA fingerprint of this host.
+
+    XLA:CPU cache entries are AOT machine code keyed by the COMPILING
+    host's detected CPU features; loading them on a host with a different
+    feature set logs cpu_aot_loader feature-mismatch errors and can SIGILL.
+    The default cache dir is namespaced by this fingerprint so only
+    same-ISA hosts share entries (an explicit AVSYNC_COMPILE_CACHE is
+    honored verbatim — the caller owns that tradeoff). A new host pays one
+    cold compile per program, exactly what it would have paid uncached.
+    """
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    raw = f"{platform.machine()}|{flags}"
+    return hashlib.sha256(raw.encode()).hexdigest()[:12]
+
+
 def default_cache_dir() -> str:
     return os.path.join(
-        os.path.expanduser("~"), ".cache", "avsync", "jax_compile"
+        os.path.expanduser("~"), ".cache", "avsync",
+        f"jax_compile-{_host_fingerprint()}"
     )
 
 

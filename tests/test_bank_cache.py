@@ -76,6 +76,26 @@ def test_cache_key_tracks_inputs(tmp_path):
     assert path4 is None and key4 == key3
 
 
+def test_default_cache_dir_is_host_fingerprinted(monkeypatch):
+    # XLA:CPU cache entries are host-ISA-specific AOT code; the default dir
+    # is namespaced by a CPU fingerprint so a cache written on one machine
+    # is never loaded on another (cpu_aot_loader feature-mismatch / SIGILL).
+    from avsync.utils import compile_cache
+
+    d1 = compile_cache.default_cache_dir()
+    d2 = compile_cache.default_cache_dir()
+    assert d1 == d2  # stable within a host
+    assert os.path.basename(d1).startswith("jax_compile-")
+    suffix = os.path.basename(d1).split("-", 1)[1]
+    assert len(suffix) == 12 and all(c in "0123456789abcdef" for c in suffix)
+
+    # a host with different CPU features maps to a different dir
+    monkeypatch.setattr(
+        compile_cache, "_host_fingerprint", lambda: "feedfacecafe"
+    )
+    assert compile_cache.default_cache_dir() != d1
+
+
 def test_enable_persistent_cache_env(tmp_path, monkeypatch):
     from avsync.utils import compile_cache
 
