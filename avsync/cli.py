@@ -631,21 +631,27 @@ def cmd_export(args) -> int:
         h, w = (int(v) for v in args.frame_geometry.lower().split("x"))
         geom = (h, w)
     platforms = tuple(p.strip() for p in args.platforms.split(","))
+    buckets = None
+    if args.batch_sizes:
+        buckets = [int(v) for v in args.batch_sizes.split(",")]
     if args.detector_checkpoint:
         art = export_sync_scorer(
             args.detector_checkpoint, args.checkpoint, cfg,
             num_shifts=args.shifts_per_request, frame_geometry=geom,
-            platforms=platforms,
+            platforms=platforms, batch_sizes=buckets,
         )
     else:
         art = export_transcriber(
             args.checkpoint, cfg, frame_geometry=geom, platforms=platforms,
+            batch_sizes=buckets,
         )
     art.save(args.out)
     m = art.meta
+    bdesc = ("b symbolic" if art.batch_sizes is None
+             else f"static buckets {art.batch_sizes}")
     print(f"exported {args.out}: kind={m['kind']} family={m['family']} "
           f"frames=(b, {m['frame_shape'][0]}, {m['frame_shape'][1]}, "
-          f"{m['frame_shape'][2]}) uint8, roi={m['roi']}, "
+          f"{m['frame_shape'][2]}) uint8 ({bdesc}), roi={m['roi']}, "
           f"platforms={m['platforms']}")
     return 0
 
@@ -1396,6 +1402,13 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--shifts_per_request", type=int, default=1,
                     help="K of the sync-scorer artifact (static per "
                          "module, like live serving's per-K programs)")
+    ex.add_argument("--batch_sizes", type=str, default=None,
+                    help="comma-separated static batch buckets (e.g. "
+                         "'1,2,4,8'): one fully static module per size "
+                         "instead of a symbolic batch dim — each bucket "
+                         "compiles with complete shape knowledge at load "
+                         "time (closes the symbolic-dim warm-throughput "
+                         "penalty, PERF.md)")
     ex.set_defaults(fn=cmd_export)
 
     sv = sub.add_parser("serve",

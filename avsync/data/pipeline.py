@@ -821,7 +821,7 @@ class LipNetBatcher:
                 "valid": hb["valid"],
             }
 
-    def _host_epoch(
+    def raw_batches(
         self,
         batch_size: Optional[int] = None,
         shuffle: bool = True,
@@ -829,8 +829,12 @@ class LipNetBatcher:
         drop_last: bool = True,
         prefetch_size: int = 2,
     ) -> Iterator[Dict[str, np.ndarray]]:
-        """The streamed path: host decode -> uint8 H2D -> device preprocess,
-        prefetch-overlapped."""
+        """Prefetch-wrapped HOST batches before device preprocess: {'raw'
+        uint8 frames, 'boxes' (detector mode), 'labels', 'label_lengths',
+        'valid'} — the streamed path's building block, exposed so callers
+        that fuse preprocess into their own device program (the trainer's
+        fused raw step) or instrument the stage split (profiling) can
+        consume decode output directly."""
         d = self.cfg.data
         B = batch_size or d.batch_size
         n = len(self.source)
@@ -922,14 +926,34 @@ class LipNetBatcher:
             finally:
                 pool.shutdown(wait=False)
 
-        for hb in prefetch(batches(), prefetch_size):
-            video = self._preprocess(hb["raw"], hb.get("boxes"))
-            yield {
-                "video": video,
-                "labels": hb["labels"],
-                "label_lengths": hb["label_lengths"],
-                "valid": hb["valid"],
-            }
+        return prefetch(batches(), prefetch_size)
+
+    def _host_epoch(
+        self,
+        batch_size: Optional[int] = None,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        prefetch_size: int = 2,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """The streamed path: host decode -> uint8 H2D -> device preprocess,
+        prefetch-overlapped."""
+        gen = self.raw_batches(
+            batch_size, shuffle, seed, drop_last, prefetch_size
+        )
+        try:
+            for hb in gen:
+                video = self._preprocess(hb["raw"], hb.get("boxes"))
+                yield {
+                    "video": video,
+                    "labels": hb["labels"],
+                    "label_lengths": hb["label_lengths"],
+                    "valid": hb["valid"],
+                }
+        finally:
+            # abandoning THIS generator must deterministically stop the
+            # prefetch worker + decode pool (not wait for GC)
+            gen.close()
 
     def first_batch(self, **epoch_kwargs) -> Dict[str, np.ndarray]:
         """One batch, with the epoch generator (and its prefetch worker +

@@ -483,6 +483,10 @@ class ArtifactTranscribeService:
                 f"{artifact.meta.get('kind')!r}"
             )
         self.artifact = artifact
+        # static-bucket artifacts can't serve batches beyond their largest
+        # exported module — clamp so the batcher never forms one
+        if artifact.batch_sizes:
+            max_batch = min(max_batch, max(artifact.batch_sizes))
         self.stats = stats or ServingStats()
 
         def infer(payload) -> Sequence[str]:
@@ -555,6 +559,8 @@ class ArtifactSyncScoreService:
                 f"{artifact.meta.get('kind')!r}"
             )
         self.artifact = artifact
+        if artifact.batch_sizes:  # see ArtifactTranscribeService
+            max_batch = min(max_batch, max(artifact.batch_sizes))
         # the artifact embeds the full AvsyncConfig — media decode for
         # score_path self-configures from it (sample rate, default fps)
         self.cfg = AvsyncConfig.from_dict(artifact.meta["config"])
@@ -678,6 +684,20 @@ def _make_handler(server: "AvsyncServer"):
                 self._send(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):  # noqa: N802
+            # drain gate: once shutdown() begins, keep-alive connections
+            # must not start NEW work (fresh connections are already shut
+            # out — the accept loop has exited); in-flight requests below
+            # are counted so shutdown can wait for them
+            if not server._begin_request():
+                self._send(503, {"error": "server is draining"})
+                self.close_connection = True
+                return
+            try:
+                self._do_post_tracked()
+            finally:
+                server._end_request()
+
+        def _do_post_tracked(self):
             # read the body unconditionally: on HTTP/1.1 keep-alive an
             # unread body would be parsed as the NEXT request line
             try:
@@ -803,6 +823,25 @@ class AvsyncServer:
         self.max_body_bytes = int(max_body_bytes)
         self._httpd = ThreadingHTTPServer((host, port), _make_handler(self))
         self._thread: Optional[threading.Thread] = None
+        # graceful-drain bookkeeping: POSTs in flight + the drain flag
+        self._inflight = 0
+        self._inflight_cv = threading.Condition()
+        self._draining = False
+
+    # -- drain bookkeeping (handler threads) --------------------------------
+
+    def _begin_request(self) -> bool:
+        with self._inflight_cv:
+            if self._draining:
+                return False
+            self._inflight += 1
+            return True
+
+    def _end_request(self) -> None:
+        with self._inflight_cv:
+            self._inflight -= 1
+            if self._inflight == 0:
+                self._inflight_cv.notify_all()
 
     @property
     def address(self) -> tuple:
@@ -827,8 +866,29 @@ class AvsyncServer:
     def serve_forever(self) -> None:
         self._httpd.serve_forever()
 
-    def shutdown(self) -> None:
+    def shutdown(self, drain_timeout: float = 30.0) -> None:
+        """Graceful drain: stop accepting, let in-flight requests finish
+        (bounded by drain_timeout), then tear down.
+
+        Order matters: (1) the accept loop exits so no new connection gets
+        a handler thread; (2) the drain flag turns away keep-alive
+        re-requests with 503 and we wait for the in-flight count to reach
+        zero — each of those requests completes its batched inference and
+        writes its response; (3) only then do the sockets close and the
+        batchers stop (batcher.close itself drains its queue, so every
+        accepted Future resolves). A request stuck past drain_timeout is
+        abandoned rather than pinning shutdown forever."""
+        import time as _time
+
         self._httpd.shutdown()
+        with self._inflight_cv:
+            self._draining = True
+            deadline = _time.time() + drain_timeout
+            while self._inflight > 0:
+                remaining = deadline - _time.time()
+                if remaining <= 0:
+                    break
+                self._inflight_cv.wait(remaining)
         self._httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=10.0)

@@ -32,6 +32,15 @@ def _host_fingerprint() -> str:
     same-ISA hosts share entries (an explicit AVSYNC_COMPILE_CACHE is
     honored verbatim — the caller owns that tradeoff). A new host pays one
     cold compile per program, exactly what it would have paid uncached.
+
+    Scope: the fingerprint reads the Linux /proc/cpuinfo 'flags'/'Features'
+    line (x86/ARM Linux — every deployment target here). Where that line is
+    absent (macOS, s390x/ppc Linux) it degrades to machine +
+    platform.processor() — a weaker signal that can still under-distinguish
+    same-model hosts with different ISA extensions; on such hosts set
+    AVSYNC_COMPILE_CACHE to a per-host path instead of relying on the
+    fingerprint. (The secondary signal is mixed in ONLY on the fallback
+    path so existing Linux cache dirs stay stable.)
     """
     import hashlib
     import platform
@@ -45,6 +54,8 @@ def _host_fingerprint() -> str:
                     break
     except OSError:
         pass
+    if not flags:
+        flags = f"proc:{platform.processor()}"
     raw = f"{platform.machine()}|{flags}"
     return hashlib.sha256(raw.encode()).hexdigest()[:12]
 

@@ -307,6 +307,116 @@ class TestSyncScorerExport:
             )
 
 
+class TestStaticBuckets:
+    """batch_sizes= export mode: one fully static StableHLO module per
+    serving bucket in the same artifact (VERDICT r4 Next #3 — closes the
+    symbolic-dim warm-throughput penalty). Results must be identical to
+    the symbolic-dim artifact at every batch size."""
+
+    @pytest.fixture(scope="class")
+    def static_artifact(self, lip_ckpt, tmp_path_factory):
+        art = export_transcriber(lip_ckpt, TINY, platforms=("cpu",),
+                                 batch_sizes=(1, 2, 4))
+        path = str(tmp_path_factory.mktemp("exports") / "static.npz")
+        art.save(path)
+        return path
+
+    def test_matches_symbolic_artifact(self, artifact, static_artifact):
+        sym = load_exported(artifact)
+        stat = load_exported(static_artifact)
+        assert sym.batch_sizes is None
+        assert stat.batch_sizes == [1, 2, 4]
+        rng = np.random.default_rng(23)
+        frames = rng.integers(0, 255, (4, 8, 16, 32), np.uint8)
+        for B in (1, 2, 3, 4):  # 3 pads to the 4-bucket, slices back
+            ids_s, len_s, lp_s = sym.call(frames[:B])
+            ids_t, len_t, lp_t = stat.call(frames[:B])
+            assert lp_t.shape[0] == B
+            np.testing.assert_array_equal(ids_t, ids_s)
+            np.testing.assert_array_equal(len_t, len_s)
+            np.testing.assert_allclose(lp_t, lp_s, rtol=1e-5, atol=1e-6)
+            assert stat.transcribe(frames[:B]) == sym.transcribe(frames[:B])
+
+    def test_over_max_bucket_rejected(self, static_artifact):
+        back = load_exported(static_artifact)
+        with pytest.raises(ValueError, match="largest exported bucket"):
+            back.call(np.zeros((5, 8, 16, 32), np.uint8))
+
+    def test_meta_records_buckets(self, static_artifact):
+        with np.load(static_artifact, allow_pickle=False) as z:
+            meta = json.loads(str(z["meta"]))
+            assert sorted(z.files) == ["meta", "module_b1", "module_b2",
+                                       "module_b4"]
+        assert meta["batch_sizes"] == [1, 2, 4]
+
+    def test_static_sync_scorer(self, lip_ckpt, tmp_path):
+        import dataclasses
+
+        from avsync.compat import save_detector_pth
+        from avsync.export import export_sync_scorer
+        from avsync.models import MisalignmentDetector
+
+        det_model = MisalignmentDetector(hidden_dim=16)
+        feat_dim = 2 * (4 * 2 * 4) + 40
+        dp = det_model.init(
+            {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, feat_dim))
+        )["params"]
+        det = str(tmp_path / "det.pth")
+        save_detector_pth(
+            jax.device_get(dp), det, feat_dim, 16,
+            {"sample_rate": 16000, "n_mfcc": 20, "max_shift_frames": 10},
+            conv_shape=(4, 2, 4), n_audio_feats=40,
+        )
+        cfg = dataclasses.replace(
+            TINY, audio=dataclasses.replace(TINY.audio,
+                                            max_audio_samples=8000)
+        )
+        sym = export_sync_scorer(det, lip_ckpt, cfg, num_shifts=1,
+                                 platforms=("cpu",))
+        stat = export_sync_scorer(det, lip_ckpt, cfg, num_shifts=1,
+                                  platforms=("cpu",), batch_sizes=(2,))
+        p = str(tmp_path / "sync_static.npz")
+        stat.save(p)
+        stat = load_exported(p)
+        assert stat.batch_sizes == [2]
+        rng = np.random.default_rng(29)
+        frames = rng.integers(0, 255, (8, 16, 32), np.uint8)
+        audio = (rng.standard_normal(4000) * 0.2).astype(np.float32)
+        got = stat.score_arrays(frames, audio, 25.0, shifts=(0,))
+        want = sym.score_arrays(frames, audio, 25.0, shifts=(0,))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_artifact_service_clamps_max_batch(self, static_artifact):
+        from avsync.serving import ArtifactTranscribeService
+
+        svc = ArtifactTranscribeService(static_artifact, max_batch=8,
+                                        max_wait_ms=1.0)
+        try:
+            assert svc.batcher.max_batch == 4
+            rng = np.random.default_rng(31)
+            frames = rng.integers(0, 255, (8, 16, 32), np.uint8)
+            live = load_exported(static_artifact)
+            assert (svc.transcribe_frames(frames)
+                    == live.transcribe(frames)[0])
+        finally:
+            svc.close()
+
+    def test_cli_batch_sizes_flag(self, lip_ckpt, tmp_path, capsys):
+        from avsync.cli import build_parser
+
+        out = str(tmp_path / "cli_static.npz")
+        cfg_path = str(tmp_path / "tiny.json")
+        with open(cfg_path, "w") as f:
+            f.write(TINY.to_json())
+        args = build_parser().parse_args([
+            "export", "--checkpoint", lip_ckpt, "--config", cfg_path,
+            "--out", out, "--platforms", "cpu", "--batch_sizes", "1,2",
+        ])
+        assert args.fn(args) == 0
+        assert "static buckets [1, 2]" in capsys.readouterr().out
+        assert load_exported(out).batch_sizes == [1, 2]
+
+
 class TestExportCli:
     def test_cmd_export_writes_artifact(self, lip_ckpt, tmp_path, capsys):
         from avsync.cli import build_parser

@@ -968,3 +968,127 @@ class TestArtifactServing:
             assert "limit" in json.loads(ei.value.read())["error"]
         finally:
             srv.shutdown()
+
+
+class TestGracefulDrain:
+    """shutdown() must let in-flight requests complete (bounded), refuse
+    new work with 503 during the drain, and stop accepting afterwards
+    (VERDICT r4 Next #6; the production preemption story for `avsync
+    serve` — SIGTERM routes here via cli._serve_loop)."""
+
+    class _SlowService:
+        """Minimal transcriber-shaped service whose inference takes
+        `delay` seconds — long enough to call shutdown() mid-flight."""
+
+        def __init__(self, delay: float):
+            from avsync.serving import DynamicBatcher, ServingStats
+
+            self.delay = delay
+            self.stats = ServingStats()
+            self.batcher = DynamicBatcher(
+                self._infer, max_batch=8, max_wait_ms=50.0,
+                stats=self.stats,
+            )
+
+        def _infer(self, rows):
+            time.sleep(self.delay)
+            return [f"ok{i}" for i in range(rows.shape[0])]
+
+        def transcribe_frames(self, frames, timeout=None):
+            return self.batcher.infer(np.asarray(frames)[None])
+
+        def close(self):
+            self.batcher.close()
+
+    def test_inflight_requests_complete_then_no_new_accepts(self):
+        from avsync.serving import AvsyncServer
+
+        svc = self._SlowService(delay=1.0)
+        srv = AvsyncServer(svc, host="127.0.0.1", port=0)
+        srv.start()
+        url = f"http://{srv.address[0]}:{srv.address[1]}"
+        results, errors = [], []
+
+        def client():
+            try:
+                results.append(_post(
+                    url + "/v1/transcribe",
+                    _npy_bytes(np.zeros((8, 16, 32), np.uint8)),
+                    "application/x-npy",
+                ))
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=client) for _ in range(4)]
+        for t in threads:
+            t.start()
+        # wait until the requests are genuinely in flight (inside do_POST)
+        deadline = time.time() + 5.0
+        while srv._inflight < 4 and time.time() < deadline:
+            time.sleep(0.01)
+        assert srv._inflight == 4
+        t0 = time.time()
+        srv.shutdown(drain_timeout=30.0)
+        drain_wall = time.time() - t0
+        for t in threads:
+            t.join(timeout=10.0)
+        assert not errors, errors
+        # requests coalesce into batches, so per-row results come back in
+        # thread-completion order — the set, not the order, is the contract
+        assert sorted(r["transcript"] for r in results) == [
+            f"ok{i}" for i in range(4)
+        ]
+        # the drain actually waited for the slow batch rather than
+        # returning before the responses were written
+        assert drain_wall >= 0.5
+        with pytest.raises(urllib.error.URLError):
+            _get(url + "/healthz")
+
+    def test_drain_timeout_bounds_shutdown(self):
+        from avsync.serving import AvsyncServer
+
+        svc = self._SlowService(delay=5.0)
+        srv = AvsyncServer(svc, host="127.0.0.1", port=0)
+        srv.start()
+        url = f"http://{srv.address[0]}:{srv.address[1]}"
+        t = threading.Thread(target=lambda: _post(
+            url + "/v1/transcribe",
+            _npy_bytes(np.zeros((8, 16, 32), np.uint8)),
+            "application/x-npy",
+        ))
+        t.start()
+        deadline = time.time() + 5.0
+        while srv._inflight < 1 and time.time() < deadline:
+            time.sleep(0.01)
+        t0 = time.time()
+        # the request needs ~5 s; the HTTP drain gives up after 0.2 s and
+        # the remaining wall is the batcher's own bounded close (it joins
+        # its in-flight batch, here the 5 s sleep) — NOT the 30 s a full
+        # HTTP drain would have allowed
+        srv.shutdown(drain_timeout=0.2)
+        assert time.time() - t0 < 8.0
+        t.join(timeout=15.0)
+
+    def test_draining_flag_rejects_new_requests_with_503(self):
+        from avsync.serving import AvsyncServer
+
+        svc = self._SlowService(delay=0.05)
+        srv = AvsyncServer(svc, host="127.0.0.1", port=0)
+        srv.start()
+        url = f"http://{srv.address[0]}:{srv.address[1]}"
+        # flip the drain flag directly (the shutdown() ordering test above
+        # covers the integrated path; here we pin the 503 contract for a
+        # keep-alive connection that tries to reuse its handler thread)
+        with srv._inflight_cv:
+            srv._draining = True
+        try:
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _post(url + "/v1/transcribe",
+                      _npy_bytes(np.zeros((8, 16, 32), np.uint8)),
+                      "application/x-npy")
+            assert ei.value.code == 503
+            assert "draining" in json.loads(ei.value.read())["error"]
+        finally:
+            with srv._inflight_cv:
+                srv._draining = False
+            srv.shutdown(drain_timeout=5.0)
