@@ -170,6 +170,10 @@ class LipNetTrainer:
         self.train_losses: list = []
         self.val_losses: list = []
         self.lr_history: list = []
+        # wall seconds per completed epoch (train + validate), machine-
+        # readable in history JSON — epoch 1 includes XLA compile/cache
+        # warm-up, epochs 2+ are the steady state measurement scripts read
+        self.epoch_seconds: list = []
         self._compiled = None
         self._scan_cache: dict = {}  # whole-epoch programs per gather fn
 
@@ -538,6 +542,9 @@ class LipNetTrainer:
                 self.train_losses = list(h.get("loss", []))[:start_epoch]
                 self.val_losses = list(h.get("val_loss", []))[:start_epoch]
                 self.lr_history = list(h.get("lr", []))[:start_epoch]
+                self.epoch_seconds = list(
+                    h.get("epoch_seconds", [])
+                )[:start_epoch]
             except (OSError, ValueError):
                 pass  # unreadable prior history — start the lists fresh
         t0 = time.time()
@@ -596,6 +603,7 @@ class LipNetTrainer:
                 self.train_losses.append(train_loss)
                 self.val_losses.append(val_loss)
                 self.lr_history.append(self.current_lr)
+                self.epoch_seconds.append(round(time.time() - te, 3))
                 self.log.log(
                     f"Epoch {epoch}/{epochs} | train_loss={train_loss:.4f} "
                     f"val_loss={val_loss:.4f} | lr={self.current_lr:.2e} | "
@@ -671,6 +679,7 @@ class LipNetTrainer:
                         "loss": self.train_losses,
                         "val_loss": self.val_losses,
                         "lr": self.lr_history,
+                        "epoch_seconds": self.epoch_seconds,
                     },
                     f,
                     indent=2,
