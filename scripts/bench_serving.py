@@ -213,6 +213,11 @@ def main():
                     choices=["raw", "f32", "artifact"],
                     help="'artifact' serves the same weights through an "
                          "AOT StableHLO export (ArtifactTranscribeService)")
+    ap.add_argument("--artifact_buckets", type=int, nargs="+", default=None,
+                    help="export one fully-static module per batch bucket "
+                         "(e.g. 1 2 4 8) instead of the default symbolic-"
+                         "batch artifact — the A/B for the static-bucket "
+                         "export mode")
     ap.add_argument("--service", choices=["transcribe", "sync"],
                     default="transcribe")
     ap.add_argument("--int8", action="store_true")
@@ -256,6 +261,7 @@ def main():
         artifact = export_transcriber(
             os.path.join(args.tmpdir, "bench_serving_lipnet.pth"),
             reader.cfg, platforms=("tpu", "cpu"),
+            batch_sizes=args.artifact_buckets,
         )
     by_transport = {}
     for transport in args.transports:
