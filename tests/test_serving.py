@@ -883,6 +883,52 @@ class TestArtifactServing:
         with pytest.raises(ValueError, match="not a sync_scorer"):
             ArtifactSyncScoreService(artifacts["transcriber"])
 
+    def test_static_bucket_artifact_clamps_max_batch(self, checkpoints,
+                                                     tmp_path):
+        """A static-bucket artifact can't run batches beyond its largest
+        exported module; the service clamps the batcher's max_batch so no
+        such batch is ever formed (serving.py: static-bucket clamp), and
+        concurrent requests still all serve through the clamped buckets."""
+        from avsync.export import export_transcriber
+        from avsync.serving import ArtifactTranscribeService, AvsyncServer
+
+        art = export_transcriber(checkpoints["lipnet"], TINY,
+                                 platforms=("cpu",), batch_sizes=(1, 2))
+        path = str(tmp_path / "static.npz")
+        art.save(path)
+        svc = ArtifactTranscribeService(path, max_batch=8,
+                                        max_wait_ms=100.0)
+        assert svc.batcher.max_batch == 2
+        srv = AvsyncServer(svc, None, host="127.0.0.1", port=0)
+        srv.start()
+        try:
+            url = f"http://{srv.address[0]}:{srv.address[1]}"
+            rng = np.random.default_rng(43)
+            frames = rng.integers(0, 255, (8, 16, 32), np.uint8)
+            body = _npy_bytes(frames)
+            results, errors = [], []
+
+            def client():
+                try:
+                    results.append(
+                        _post(url + "/v1/transcribe", body,
+                              "application/x-npy")["transcript"]
+                    )
+                except Exception as e:  # noqa: BLE001
+                    errors.append(e)
+
+            threads = [threading.Thread(target=client) for _ in range(3)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert not errors and len(set(results)) == 1
+            stats = _get(url + "/v1/stats")
+            assert all(int(k) <= 2
+                       for k in stats["transcribe"]["batches"])
+        finally:
+            srv.shutdown()
+
     def test_serve_artifact_parser_wiring(self):
         from avsync.cli import build_parser, cmd_serve
 
