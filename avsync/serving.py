@@ -252,6 +252,11 @@ class DynamicBatcher:
                 groups.setdefault(key, []).append(it)
             for items in groups.values():
                 self._run_group(items)
+            # drop the loop locals: an idle worker must not pin the last
+            # batch's payload arrays until the next request arrives
+            # (tests/test_serving.py::test_no_per_request_retention)
+            batch = items = it = None  # noqa: F841
+            groups.clear()
 
     def _run_group(self, batch: List[_Item]) -> None:
         n = len(batch)

@@ -185,6 +185,18 @@ def main() -> int:
             "rss_mb": {"start": round(rss0, 1),
                        "end": round(rss_samples[-1], 1),
                        "max": round(max(rss_samples), 1)},
+            # the full timeline (downsampled), plus growth per request:
+            # a value near the mean request payload size means the
+            # ENVIRONMENT's transfer path retains host copies (run
+            # scripts/diagnose_rss.py to confirm); avsync's own stack is
+            # retention-free (test_no_per_request_retention)
+            "rss_timeline_mb": [
+                round(v, 1) for v in
+                rss_samples[::max(1, len(rss_samples) // 60)]
+            ],
+            "rss_kb_per_request": round(
+                (rss_samples[-1] - rss0) / max(1, len(lats)) * 1e3, 1
+            ),
         })
         with urllib.request.urlopen(url + "/v1/stats", timeout=10) as r:
             result["server_stats"] = json.loads(r.read())

@@ -163,6 +163,30 @@ class TestDynamicBatcher:
         with pytest.raises(RuntimeError):
             b.submit(np.zeros((1, 1)))
 
+    def test_no_per_request_retention(self):
+        """After a request resolves, NOTHING in the serving stack may keep
+        the payload array alive — per-request retention is an RSS leak at
+        exactly the request-byte rate under sustained load (the round-5
+        soak diagnosis: avsync's stack is clean; scripts/diagnose_rss.py
+        probes the environment's transfer path for the same property)."""
+        import gc
+        import weakref
+
+        b = DynamicBatcher(lambda rows: [float(r.sum()) for r in rows],
+                           max_batch=4, max_wait_ms=1.0)
+        try:
+            row = np.ones((1, 64), np.float32)
+            ref = weakref.ref(row)
+            assert b.infer(row, timeout=10.0) == 64.0
+            del row
+            deadline = time.perf_counter() + 5.0
+            while ref() is not None and time.perf_counter() < deadline:
+                gc.collect()
+                time.sleep(0.01)
+            assert ref() is None, "batcher retained the request payload"
+        finally:
+            b.close()
+
     def test_stats_snapshot_shape(self):
         s = ServingStats()
         s.record_batch(2, 4, [0.010, 0.020])
