@@ -821,7 +821,7 @@ class LipNetBatcher:
                 "valid": hb["valid"],
             }
 
-    def raw_batches(
+    def _raw_batches(
         self,
         batch_size: Optional[int] = None,
         shuffle: bool = True,
@@ -831,10 +831,8 @@ class LipNetBatcher:
     ) -> Iterator[Dict[str, np.ndarray]]:
         """Prefetch-wrapped HOST batches before device preprocess: {'raw'
         uint8 frames, 'boxes' (detector mode), 'labels', 'label_lengths',
-        'valid'} — the streamed path's building block, exposed so callers
-        that fuse preprocess into their own device program (the trainer's
-        fused raw step) or instrument the stage split (profiling) can
-        consume decode output directly."""
+        'valid'} — the decode half of `_host_epoch`, split out so the
+        prefetch worker + decode pool lifecycle is owned in one place."""
         d = self.cfg.data
         B = batch_size or d.batch_size
         n = len(self.source)
@@ -938,7 +936,7 @@ class LipNetBatcher:
     ) -> Iterator[Dict[str, np.ndarray]]:
         """The streamed path: host decode -> uint8 H2D -> device preprocess,
         prefetch-overlapped."""
-        gen = self.raw_batches(
+        gen = self._raw_batches(
             batch_size, shuffle, seed, drop_last, prefetch_size
         )
         try:

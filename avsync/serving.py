@@ -694,7 +694,20 @@ def _make_handler(server: "AvsyncServer"):
             # out — the accept loop has exited); in-flight requests below
             # are counted so shutdown can wait for them
             if not server._begin_request():
+                # mirror the 413 path: the request body is still unread
+                # here, and closing with data queued in the receive buffer
+                # emits RST on Linux, which can destroy the 503 before the
+                # client reads it (see _lingering_drain)
                 self._send(503, {"error": "server is draining"})
+                try:
+                    self.wfile.flush()
+                except OSError:
+                    pass
+                try:
+                    claimed = int(self.headers.get("Content-Length", 0))
+                except (TypeError, ValueError):
+                    claimed = 0
+                self._lingering_drain(max(0, claimed))
                 self.close_connection = True
                 return
             try:

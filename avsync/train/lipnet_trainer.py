@@ -545,6 +545,13 @@ class LipNetTrainer:
                 self.epoch_seconds = list(
                     h.get("epoch_seconds", [])
                 )[:start_epoch]
+                # histories written before epoch_seconds existed (or with
+                # fewer entries) would leave this list index-misaligned
+                # with loss/val_loss/lr — pad the unknown epochs with None
+                # so epoch_seconds[i] is always epoch i+1's wall
+                self.epoch_seconds += [None] * (
+                    len(self.train_losses) - len(self.epoch_seconds)
+                )
             except (OSError, ValueError):
                 pass  # unreadable prior history — start the lists fresh
         t0 = time.time()

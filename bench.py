@@ -160,7 +160,10 @@ def e2e_benchmark(trainer, state, cfg) -> dict:
         # probe window (measured same-session spread 57-97 MB/s), so ratios
         # in ~0.7-1.0 are link variance, not pipeline loss; sustained <0.7
         # is a real overlap regression.
-        "e2e_streamed_vs_budget": round(streamed_rate / binding, 3)
+        # units: streamed_rate is per-chip, the stage budgets are absolute
+        # (whole-host decode, whole-batch preprocess) — multiply back by
+        # n_dev so the ratio compares like with like on multi-device runs
+        "e2e_streamed_vs_budget": round(streamed_rate * n_dev / binding, 3)
         if binding > 0 else None,
     }
 

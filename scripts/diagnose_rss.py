@@ -30,12 +30,15 @@ processes on that environment need a restart policy sized to host RAM
 """
 import gc
 import json
+import os
 import sys
 
 
 def rss_mb() -> float:
+    # statm counts PAGES — use the kernel's page size (16K/64K on some
+    # aarch64 configs; hardcoding 4096 would under-report retention there)
     with open("/proc/self/statm") as f:
-        return int(f.read().split()[1]) * 4096 / 1e6
+        return int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") / 1e6
 
 
 def main() -> int:

@@ -195,7 +195,12 @@ class _BoundedLoader:
     def __iter__(self):
         it = iter(self.loader)
         for _ in range(self.n):
-            yield next(it)
+            try:
+                yield next(it)
+            except StopIteration:
+                # loader shorter than the requested window (PEP 479: a
+                # bare StopIteration here would become RuntimeError)
+                return
 
 
 def run_reference() -> dict:

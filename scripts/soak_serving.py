@@ -231,8 +231,15 @@ def main() -> int:
             "daemon_exit_code": rc,
             "port_refuses_after": refused,
             # a request that raced the drain flag gets a clean 503 — an
-            # acceptable (counted) outcome, unlike a reset/timeout
+            # acceptable (counted) outcome, unlike a reset/timeout — but
+            # the drain property being pinned is that in-flight work
+            # COMPLETES: every burst request must resolve (200 or 503)
+            # and at least one must have gotten its 200 through, else a
+            # regression that 503s everything would still pass
             "ok": (rc == 0 and refused
+                   and len(burst_results) + len(burst_errors)
+                   == args.max_batch
+                   and len(burst_results) > 0
                    and all("503" in e for e in burst_errors)),
         }
     finally:

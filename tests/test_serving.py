@@ -1162,3 +1162,41 @@ class TestGracefulDrain:
             with srv._inflight_cv:
                 srv._draining = False
             srv.shutdown(drain_timeout=5.0)
+
+    def test_drain_503_readable_with_large_unread_body(self):
+        """The drain gate fires BEFORE the body is read; closing with
+        megabytes still queued in the receive buffer emits RST on Linux,
+        which can destroy the 503 before the client reads it. The handler
+        must flush + linger-drain (mirroring the 413 path) so a keep-alive
+        client that raced the drain flag reads a clean 503, not ECONNRESET."""
+        import http.client
+
+        from avsync.serving import AvsyncServer
+
+        svc = self._SlowService(delay=0.05)
+        srv = AvsyncServer(svc, host="127.0.0.1", port=0)
+        srv.start()
+        host, port = srv.address
+        try:
+            # keep-alive connection established (and proven live) pre-drain
+            conn = http.client.HTTPConnection(host, port, timeout=30)
+            body = _npy_bytes(np.zeros((8, 16, 32), np.uint8))
+            conn.request("POST", "/v1/transcribe", body,
+                         {"Content-Type": "application/x-npy"})
+            r1 = conn.getresponse()
+            assert r1.status == 200
+            r1.read()
+            with srv._inflight_cv:
+                srv._draining = True
+            # 2 MB body — far beyond the socket buffers, so an abrupt
+            # close would RST before the client could read the response
+            big = _npy_bytes(np.zeros((64, 160, 320), np.uint8))
+            conn.request("POST", "/v1/transcribe", big,
+                         {"Content-Type": "application/x-npy"})
+            r2 = conn.getresponse()
+            assert r2.status == 503
+            assert "draining" in json.loads(r2.read())["error"]
+        finally:
+            with srv._inflight_cv:
+                srv._draining = False
+            srv.shutdown(drain_timeout=5.0)

@@ -443,6 +443,12 @@ class TestTrainerLoop:
             h = json.load(f)
         assert h["loss"][:2] == [5.0, 4.0]  # prior segments preserved
         assert len(h["loss"]) == 3 and len(h["val_loss"]) == 3
+        # the prior segment predates epoch_seconds (or lost it): the
+        # unknown epochs pad with null so epoch_seconds[i] is always
+        # epoch i+1's wall, never the resumed segment's shifted down
+        assert len(h["epoch_seconds"]) == 3
+        assert h["epoch_seconds"][:2] == [None, None]
+        assert isinstance(h["epoch_seconds"][2], float)
 
     def test_profile_dir_captures_first_epoch_trace(self, tmp_path):
         """--profile_dir plumbing: the first epoch runs under jax.profiler
