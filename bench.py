@@ -158,8 +158,10 @@ def e2e_benchmark(trainer, state, cfg) -> dict:
         # visible (VERDICT r4 Weak #3). Caveat: on the tunneled TPU the H2D
         # bandwidth drifts between the streamed-epoch window and the budget
         # probe window (measured same-session spread 57-97 MB/s), so ratios
-        # in ~0.7-1.0 are link variance, not pipeline loss; sustained <0.7
-        # is a real overlap regression.
+        # in ~0.7-1.0 are link variance, not pipeline loss (and >1.0 happens
+        # when the streamed window catches a faster link than the probes —
+        # measured 1.23 in a clean r5 window); sustained <0.7 is a real
+        # overlap regression.
         # units: streamed_rate is per-chip, the stage budgets are absolute
         # (whole-host decode, whole-batch preprocess) — multiply back by
         # n_dev so the ratio compares like with like on multi-device runs
