@@ -633,7 +633,16 @@ def cmd_export(args) -> int:
     platforms = tuple(p.strip() for p in args.platforms.split(","))
     buckets = None
     if args.batch_sizes:
-        buckets = [int(v) for v in args.batch_sizes.split(",")]
+        try:
+            buckets = [int(v) for v in args.batch_sizes.split(",")]
+        except ValueError:
+            print(f"--batch_sizes must be a comma-separated list of "
+                  f"positive ints, got {args.batch_sizes!r}")
+            return 2
+        if any(b <= 0 for b in buckets):
+            print(f"--batch_sizes entries must be positive, "
+                  f"got {args.batch_sizes!r}")
+            return 2
     if args.detector_checkpoint:
         art = export_sync_scorer(
             args.detector_checkpoint, args.checkpoint, cfg,

@@ -796,30 +796,36 @@ class LipNetBatcher:
             self._combine = jax.jit(
                 lambda g, p, i: g.at[i].set(p, mode="drop")
             )
-        for hb in prefetch(host_batches(), 2):
-            idx = hb["idx"]
-            is_cached = idx < n_cached
-            # clamp missed rows to row 0 for the gather; their contents are
-            # replaced by the streamed rows in the merge
-            safe = np.where(is_cached, idx, 0)
-            gathered = self._gather(cache["video"], jnp.asarray(safe))
-            if hb["raw"] is not None:
-                streamed = self._preprocess(hb["raw"], hb["boxes"])
-                miss = hb["miss"]
-                cap = hb["raw"].shape[0]
-                scatter = np.full((cap,), B, np.int32)
-                scatter[: miss.size] = miss
-                video = self._combine(
-                    gathered, streamed, jnp.asarray(scatter)
-                )
-            else:
-                video = gathered
-            yield {
-                "video": video,
-                "labels": cache["labels"][idx],
-                "label_lengths": cache["label_lengths"][idx],
-                "valid": hb["valid"],
-            }
+        gen = prefetch(host_batches(), 2)
+        try:
+            for hb in gen:
+                idx = hb["idx"]
+                is_cached = idx < n_cached
+                # clamp missed rows to row 0 for the gather; their contents
+                # are replaced by the streamed rows in the merge
+                safe = np.where(is_cached, idx, 0)
+                gathered = self._gather(cache["video"], jnp.asarray(safe))
+                if hb["raw"] is not None:
+                    streamed = self._preprocess(hb["raw"], hb["boxes"])
+                    miss = hb["miss"]
+                    cap = hb["raw"].shape[0]
+                    scatter = np.full((cap,), B, np.int32)
+                    scatter[: miss.size] = miss
+                    video = self._combine(
+                        gathered, streamed, jnp.asarray(scatter)
+                    )
+                else:
+                    video = gathered
+                yield {
+                    "video": video,
+                    "labels": cache["labels"][idx],
+                    "label_lengths": cache["label_lengths"][idx],
+                    "valid": hb["valid"],
+                }
+        finally:
+            # abandoning a partial-cache epoch must deterministically stop
+            # the prefetch worker + decode pool, same as _host_epoch
+            gen.close()
 
     def _raw_batches(
         self,

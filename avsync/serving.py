@@ -682,7 +682,14 @@ def _make_handler(server: "AvsyncServer"):
 
         def do_GET(self):  # noqa: N802
             if self.path == "/healthz":
-                self._send(200, {"status": "ok"})
+                # drain-gated: an orchestrator's readiness probe on a
+                # kept-alive connection must see the instance leave the
+                # pool as soon as shutdown() begins, not keep getting 200
+                # while every POST on the same connection is refused
+                if server._draining:
+                    self._send(503, {"status": "draining"})
+                else:
+                    self._send(200, {"status": "ok"})
             elif self.path == "/v1/stats":
                 self._send(200, server.stats_snapshot())
             else:
@@ -888,22 +895,31 @@ class AvsyncServer:
         """Graceful drain: stop accepting, let in-flight requests finish
         (bounded by drain_timeout), then tear down.
 
-        Order matters: (1) the accept loop exits so no new connection gets
-        a handler thread; (2) the drain flag turns away keep-alive
-        re-requests with 503 and we wait for the in-flight count to reach
-        zero — each of those requests completes its batched inference and
-        writes its response; (3) only then do the sockets close and the
-        batchers stop (batcher.close itself drains its queue, so every
-        accepted Future resolves). A request stuck past drain_timeout is
-        abandoned rather than pinning shutdown forever."""
+        Order matters: (1) the accept loop exits and the LISTEN socket
+        closes immediately — a client connecting mid-drain gets
+        connection-refused (so a load balancer can retry elsewhere at
+        once) rather than completing a handshake into the backlog and
+        hanging unread until teardown; (2) the drain flag turns away
+        keep-alive re-requests with 503 and we wait for the in-flight
+        count to reach zero — each of those requests completes its
+        batched inference and writes its response; (3) only then do the
+        handler sockets close and the batchers stop (batcher.close itself
+        drains its queue, so every accepted Future resolves). A request
+        stuck past drain_timeout is abandoned rather than pinning
+        shutdown forever. The wait runs on the monotonic clock so an NTP
+        step can neither truncate nor extend the drain."""
         import time as _time
 
         self._httpd.shutdown()
+        try:
+            self._httpd.socket.close()
+        except OSError:
+            pass
         with self._inflight_cv:
             self._draining = True
-            deadline = _time.time() + drain_timeout
+            deadline = _time.monotonic() + drain_timeout
             while self._inflight > 0:
-                remaining = deadline - _time.time()
+                remaining = deadline - _time.monotonic()
                 if remaining <= 0:
                     break
                 self._inflight_cv.wait(remaining)

@@ -1163,6 +1163,69 @@ class TestGracefulDrain:
                 srv._draining = False
             srv.shutdown(drain_timeout=5.0)
 
+    def test_healthz_reports_draining(self):
+        """An orchestrator's readiness probe on a kept-alive connection
+        must see the drain: /healthz flips to 503 {'status': 'draining'}
+        as soon as shutdown() begins, instead of reporting healthy while
+        every POST is refused."""
+        from avsync.serving import AvsyncServer
+
+        svc = self._SlowService(delay=0.05)
+        srv = AvsyncServer(svc, host="127.0.0.1", port=0)
+        srv.start()
+        url = f"http://{srv.address[0]}:{srv.address[1]}"
+        assert _get(url + "/healthz") == {"status": "ok"}
+        with srv._inflight_cv:
+            srv._draining = True
+        try:
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _get(url + "/healthz")
+            assert ei.value.code == 503
+            assert json.loads(ei.value.read())["status"] == "draining"
+        finally:
+            with srv._inflight_cv:
+                srv._draining = False
+            srv.shutdown(drain_timeout=5.0)
+
+    def test_new_connections_refused_mid_drain(self):
+        """The LISTEN socket closes at the start of the drain, so a client
+        connecting while in-flight requests finish gets an immediate
+        connection-refused (load balancer can retry elsewhere) — not a
+        successful handshake into the backlog that hangs until teardown."""
+        from avsync.serving import AvsyncServer
+
+        svc = self._SlowService(delay=1.5)
+        srv = AvsyncServer(svc, host="127.0.0.1", port=0)
+        srv.start()
+        url = f"http://{srv.address[0]}:{srv.address[1]}"
+        ok: list = []
+        t = threading.Thread(target=lambda: ok.append(_post(
+            url + "/v1/transcribe",
+            _npy_bytes(np.zeros((8, 16, 32), np.uint8)),
+            "application/x-npy",
+        )))
+        t.start()
+        deadline = time.time() + 5.0
+        while srv._inflight < 1 and time.time() < deadline:
+            time.sleep(0.01)
+        assert srv._inflight == 1
+        down = threading.Thread(
+            target=lambda: srv.shutdown(drain_timeout=30.0))
+        t0 = time.time()
+        down.start()
+        # wait for the drain to begin (flag set after the listener closes)
+        while not srv._draining and time.time() - t0 < 5.0:
+            time.sleep(0.01)
+        t1 = time.time()
+        with pytest.raises(urllib.error.URLError):
+            _get(url + "/healthz")
+        # refused promptly, not after the ~1.5 s in-flight batch finished
+        assert time.time() - t1 < 1.0
+        down.join(timeout=15.0)
+        t.join(timeout=15.0)
+        # the in-flight request still completed through the drain
+        assert ok and ok[0]["transcript"] == "ok0"
+
     def test_drain_503_readable_with_large_unread_body(self):
         """The drain gate fires BEFORE the body is read; closing with
         megabytes still queued in the receive buffer emits RST on Linux,
